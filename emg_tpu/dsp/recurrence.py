@@ -1,0 +1,76 @@
+"""Parallel linear recurrences via associative scan.
+
+The DSP front-end's IIR filters are first-order-in-state linear recurrences
+    z[t] = A @ z[t-1] + u[t]
+which are associative under affine-map composition, so they run in log-depth
+on the TPU VPU via ``jax.lax.associative_scan`` instead of a sequential
+``lax.scan`` over tens of thousands of samples. This replaces the role of
+scipy.signal.lfilter/filtfilt in the reference's front-end
+(reference read_emg.py:32-43) with a compiler-parallel formulation.
+
+Two forms are provided:
+- ``diagonal_recurrence``: the filter's companion matrix diagonalized on
+  host; the scan is elementwise complex multiply-add. This is the form the
+  filters use — companion matrices of narrowband IIR filters are badly
+  conditioned under float32 matrix products, while diagonal powers decay
+  monotonically and stay accurate (|eigenvalue| < 1).
+- ``linear_recurrence``: general (m, m) matrix form, float precision pinned
+  to HIGHEST so the TPU MXU does not drop to bf16 on the tiny matmuls.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def linear_recurrence(A: jnp.ndarray, u: jnp.ndarray, z_init: jnp.ndarray) -> jnp.ndarray:
+    """Run z[t] = A @ z[t-1] + u[t] for t = 0..T-1 in parallel.
+
+    Args:
+      A: (m, m) constant transition matrix.
+      u: (T, m) per-step inputs (already includes any input scaling).
+      z_init: (m,) initial state z[-1].
+
+    Returns:
+      (T, m) array of states z[0..T-1].
+    """
+    T, m = u.shape
+
+    def compose(left, right):
+        A1, b1 = left
+        A2, b2 = right
+        return (
+            jnp.einsum("...ij,...jk->...ik", A2, A1, precision=_HI),
+            jnp.einsum("...ij,...j->...i", A2, b1, precision=_HI) + b2,
+        )
+
+    A_seq = jnp.broadcast_to(A, (T, m, m))
+    cumA, cumB = jax.lax.associative_scan(compose, (A_seq, u))
+    # z[t] = cumA[t] @ z_init + cumB[t]
+    return jnp.einsum("tij,j->ti", cumA, z_init, precision=_HI) + cumB
+
+
+def diagonal_recurrence(lam: jnp.ndarray, u: jnp.ndarray, w_init: jnp.ndarray) -> jnp.ndarray:
+    """Run w[t] = lam * w[t-1] + u[t] (elementwise, complex) in parallel.
+
+    Args:
+      lam: (m,) complex eigenvalues, |lam| < 1.
+      u: (T, m) complex per-step inputs.
+      w_init: (m,) complex initial state w[-1].
+
+    Returns:
+      (T, m) complex states w[0..T-1].
+    """
+    T, m = u.shape
+
+    def compose(left, right):
+        p1, b1 = left
+        p2, b2 = right
+        return (p2 * p1, p2 * b1 + b2)
+
+    P = jnp.broadcast_to(lam, (T, m))
+    cumP, cumB = jax.lax.associative_scan(compose, (P, u))
+    return cumP * w_init[None, :] + cumB

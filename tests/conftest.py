@@ -1,18 +1,23 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
-Must run before the first ``import jax`` anywhere in the test process so the
-XLA host-platform device count takes effect (SURVEY.md §4: multi-chip tests
-on CPU via device-count spoofing).
+The environment's sitecustomize may register a TPU plugin and select it at
+interpreter startup, so env vars alone are not enough — we reconfigure the
+already-imported jax module before any backend is initialized (SURVEY.md §4:
+multi-chip tests on CPU via device-count spoofing).
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,319 @@
+"""Stage-2 tests: DSP kernels vs scipy oracles and numpy reference
+implementations (librosa is unavailable; its documented semantics are
+re-derived in numpy here and cross-checked against hand values)."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax.numpy as jnp
+
+from emg_tpu.dsp import (
+    filtfilt,
+    filtfilt_masked,
+    lfilter,
+    notch_harmonics,
+    remove_drift,
+    subsample,
+    subsample_masked,
+    get_emg_features,
+    get_emg_features_masked,
+    double_average,
+    mel_spectrogram,
+    mel_filterbank,
+    FeatureNormalizer,
+    save_normalizers,
+    load_normalizers,
+)
+from emg_tpu.dsp.features import n_frames as feat_n_frames
+from emg_tpu.dsp.filters import design_highpass, design_notch
+from emg_tpu.dsp.pipeline import preprocess_emg_host
+
+RNG = np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# IIR filtering
+# ---------------------------------------------------------------------------
+
+def test_lfilter_matches_scipy():
+    b, a = design_notch(60.0, 30.0, 1000.0)
+    x = RNG.normal(size=500).astype(np.float32)
+    ours = np.asarray(lfilter(b, a, jnp.asarray(x)))
+    ref = scipy.signal.lfilter(b, a, x.astype(np.float64))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_lfilter_with_zi_matches_scipy():
+    b, a = design_highpass(3, 2.0, 1000.0)
+    x = RNG.normal(size=300)
+    zi = scipy.signal.lfilter_zi(b, a) * x[0]
+    ours = np.asarray(lfilter(b, a, jnp.asarray(x, jnp.float32), zi=zi))
+    ref, _ = scipy.signal.lfilter(b, a, x, zi=zi)
+    # float32 edge transients of the ill-conditioned 2 Hz high-pass reach
+    # ~1e-3 absolute near t=0; the bulk matches to ~1e-5
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("design", ["notch", "butter"])
+def test_filtfilt_matches_scipy(design):
+    if design == "notch":
+        b, a = design_notch(120.0, 30.0, 1000.0)
+    else:
+        b, a = design_highpass(3, 2.0, 1000.0)
+    x = RNG.normal(size=(700, 3))
+    ours = np.asarray(filtfilt(b, a, jnp.asarray(x, jnp.float32)))
+    ref = scipy.signal.filtfilt(b, a, x, axis=0)
+    np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("n", [200, 511, 700])
+def test_filtfilt_masked_matches_exact(n):
+    b, a = design_notch(60.0, 30.0, 1000.0)
+    T = 700
+    x = np.zeros((T, 2), np.float32)
+    x[:n] = RNG.normal(size=(n, 2))
+    ours = np.asarray(filtfilt_masked(b, a, jnp.asarray(x), n))[:n]
+    ref = scipy.signal.filtfilt(b, a, x[:n].astype(np.float64), axis=0)
+    np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=2e-4)
+
+
+def test_notch_harmonics_chain_matches_scipy():
+    x = RNG.normal(size=(900, 2))
+    y = x.copy().astype(np.float64)
+    for h in range(1, 8):
+        b, a = scipy.signal.iirnotch(60.0 * h, 30, 1000.0)
+        y = scipy.signal.filtfilt(b, a, y, axis=0)
+    b, a = scipy.signal.butter(3, 2, "highpass", fs=1000.0)
+    y = scipy.signal.filtfilt(b, a, y, axis=0)
+
+    ours = notch_harmonics(jnp.asarray(x, jnp.float32), 60.0, 1000.0)
+    ours = np.asarray(remove_drift(ours, 1000.0))
+    np.testing.assert_allclose(ours, y, rtol=2e-2, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Resampling
+# ---------------------------------------------------------------------------
+
+def _np_subsample(signal, new_freq, old_freq):
+    times = np.arange(len(signal)) / old_freq
+    sample_times = np.arange(0, times[-1], 1 / new_freq)
+    return np.interp(sample_times, times, signal)
+
+
+@pytest.mark.parametrize("new_freq", [689.06, 516.79])
+def test_subsample_matches_npinterp(new_freq):
+    x = RNG.normal(size=1234)
+    ref = _np_subsample(x, new_freq, 1000.0)
+    ours = np.asarray(subsample(jnp.asarray(x, jnp.float32), new_freq, 1000.0))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_subsample_masked_matches_exact():
+    T = 2000
+    n = 1234
+    x = np.zeros((T, 2), np.float32)
+    x[:n] = RNG.normal(size=(n, 2))
+    out, out_len = subsample_masked(jnp.asarray(x), n, 516.79, 1000.0)
+    ref = _np_subsample(x[:n, 0].astype(np.float64), 516.79, 1000.0)
+    assert int(out_len) == len(ref)
+    np.testing.assert_allclose(np.asarray(out)[: len(ref), 0], ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# EMG featurization (numpy oracle per librosa-documented semantics)
+# ---------------------------------------------------------------------------
+
+def _np_double_average(x):
+    f = np.ones(9) / 9.0
+    v = np.convolve(x, f, mode="same")
+    return np.convolve(v, f, mode="same")
+
+
+def _np_frame(x, frame_length=16, hop=6):
+    n = 1 + (len(x) - frame_length) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(frame_length)[None, :]
+    return x[idx]  # (n_frames, frame_length)
+
+
+def _np_zcr(p):
+    frames = _np_frame(p)
+    z = frames.copy()
+    z[np.abs(z) <= 1e-10] = 0
+    sign = np.signbit(z)
+    d = sign[:, 1:] != sign[:, :-1]
+    crossings = np.concatenate([d[:, :1], d], axis=1)
+    return crossings.mean(axis=1)
+
+
+def _np_emg_features(emg):
+    xs = emg - emg.mean(axis=0, keepdims=True)
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(16) / 16)
+    feats = []
+    for i in range(emg.shape[1]):
+        x = xs[:, i]
+        w = _np_double_average(x)
+        p = x - w
+        r = np.abs(p)
+        w_h = _np_frame(w).mean(axis=1)
+        p_w = np.sqrt((_np_frame(w) ** 2).mean(axis=1))
+        p_r = np.sqrt((_np_frame(r) ** 2).mean(axis=1))
+        z_p = _np_zcr(p)
+        r_h = _np_frame(r).mean(axis=1)
+        s = np.abs(np.fft.rfft(_np_frame(x) * hann, n=16, axis=1))
+        feats.append(np.stack([w_h, p_w, p_r, z_p, r_h], axis=1))
+        feats.append(s)
+    return np.concatenate(feats, axis=1).astype(np.float32)
+
+
+def test_double_average_matches_numpy():
+    x = RNG.normal(size=(200, 2)).astype(np.float32)
+    ours = np.asarray(double_average(jnp.asarray(x)))
+    for c in range(2):
+        np.testing.assert_allclose(ours[:, c], _np_double_average(x[:, c]), rtol=1e-4, atol=1e-6)
+
+
+def test_emg_features_match_numpy_oracle():
+    emg = RNG.normal(size=(300, 8)).astype(np.float32)
+    ref = _np_emg_features(emg)
+    ours = np.asarray(get_emg_features(jnp.asarray(emg)))
+    assert ours.shape == ref.shape == (feat_n_frames(300), 112)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_emg_features_masked_match_exact():
+    T, n = 400, 301
+    emg = np.zeros((T, 8), np.float32)
+    emg[:n] = RNG.normal(size=(n, 8))
+    ref = _np_emg_features(emg[:n])
+    ours, valid = get_emg_features_masked(jnp.asarray(emg), n)
+    assert int(valid) == ref.shape[0]
+    np.testing.assert_allclose(np.asarray(ours)[: int(valid)], ref, rtol=1e-3, atol=1e-4)
+
+
+def test_zcr_counts_sign_changes():
+    # simple alternating signal: every adjacent pair is a crossing
+    x = np.tile([1.0, -1.0], 50).astype(np.float32)[:, None]
+    feats = np.asarray(get_emg_features(jnp.asarray(np.repeat(x, 8, axis=1))))
+    z_p = feats[:, 3]  # channel 0, feature index 3 is z_p
+    np.testing.assert_allclose(z_p, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Mel spectrogram
+# ---------------------------------------------------------------------------
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(22050, 1024, 80, 0.0, 8000.0)
+    assert fb.shape == (80, 513)
+    assert (fb >= 0).all()
+    # every filter has support, and supports are sorted by center frequency
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+    assert fb.sum() > 0
+
+
+def test_mel_spectrogram_matches_torch_stft_oracle():
+    torch = pytest.importorskip("torch")
+    y = RNG.normal(size=4096).astype(np.float32) * 0.1
+    ours = np.asarray(mel_spectrogram(jnp.asarray(y), 1024, 80, 22050, 256, 1024, 0, 8000))
+
+    yt = torch.tensor(y).unsqueeze(0)
+    pad = (1024 - 256) // 2
+    yt = torch.nn.functional.pad(yt.unsqueeze(1), (pad, pad), mode="reflect").squeeze(1)
+    spec = torch.stft(
+        yt, 1024, hop_length=256, win_length=1024,
+        window=torch.hann_window(1024), center=False, return_complex=True,
+    )
+    mag = torch.sqrt(spec.real**2 + spec.imag**2 + 1e-9)
+    fb = torch.tensor(mel_filterbank(22050, 1024, 80, 0.0, 8000.0))
+    ref = torch.log(torch.clamp(fb @ mag.squeeze(0), min=1e-5)).T.numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Normalizers
+# ---------------------------------------------------------------------------
+
+def test_feature_normalizer_roundtrip(tmp_path):
+    samples = [RNG.normal(size=(50, 112)).astype(np.float32) for _ in range(3)]
+    emg_norm = FeatureNormalizer(samples, share_scale=False)
+    mfcc_norm = FeatureNormalizer([RNG.normal(size=(40, 80))], share_scale=True)
+    assert np.isscalar(mfcc_norm.feature_stddevs) or mfcc_norm.feature_stddevs.ndim == 0
+    x = samples[0]
+    z = emg_norm.normalize(x.copy())
+    np.testing.assert_allclose(emg_norm.inverse(z), x, rtol=1e-4, atol=1e-5)
+
+    p = tmp_path / "norm.pkl"
+    save_normalizers(str(p), mfcc_norm, emg_norm)
+    m2, e2 = load_normalizers(str(p))
+    np.testing.assert_allclose(e2.feature_means, emg_norm.feature_means)
+
+
+def test_load_reference_format_pickle(tmp_path):
+    """Pickle written under a fake 'data_utils' module name must load."""
+    import pickle, sys, types
+
+    mod = types.ModuleType("data_utils")
+
+    class FeatureNormalizerRef:
+        pass
+
+    FeatureNormalizerRef.__module__ = "data_utils"
+    FeatureNormalizerRef.__name__ = "FeatureNormalizer"
+    FeatureNormalizerRef.__qualname__ = "FeatureNormalizer"
+    mod.FeatureNormalizer = FeatureNormalizerRef
+    sys.modules["data_utils"] = mod
+    try:
+        a = FeatureNormalizerRef()
+        a.feature_means = np.zeros((1, 4))
+        a.feature_stddevs = np.ones((1, 4))
+        b = FeatureNormalizerRef()
+        b.feature_means = np.zeros((1, 2))
+        b.feature_stddevs = 2.0
+        p = tmp_path / "ref.pkl"
+        with open(p, "wb") as f:
+            pickle.dump((b, a), f)
+    finally:
+        del sys.modules["data_utils"]
+
+    mfcc, emg = load_normalizers(str(p))
+    assert isinstance(mfcc, FeatureNormalizer)
+    assert emg.feature_means.shape == (1, 4)
+    np.testing.assert_allclose(mfcc.normalize(np.ones((3, 2))), 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline vs a scipy/numpy end-to-end oracle
+# ---------------------------------------------------------------------------
+
+def _oracle_load_utterance_dsp(before, raw, after):
+    x = np.concatenate([before, raw, after], axis=0)
+    for h in range(1, 8):
+        b, a = scipy.signal.iirnotch(60.0 * h, 30, 1000.0)
+        x = scipy.signal.filtfilt(b, a, x, axis=0)
+    b, a = scipy.signal.butter(3, 2, "highpass", fs=1000.0)
+    x = scipy.signal.filtfilt(b, a, x, axis=0)
+    x = x[before.shape[0] : x.shape[0] - after.shape[0]]
+    emg_orig = np.stack([_np_subsample(x[:, c], 689.06, 1000.0) for c in range(x.shape[1])], 1)
+    emg = np.stack([_np_subsample(x[:, c], 516.79, 1000.0) for c in range(x.shape[1])], 1)
+    feats = _np_emg_features(emg)
+    F = feats.shape[0]
+    return feats, emg[6 : 6 + 6 * F], emg_orig[8 : 8 + 8 * F]
+
+
+def test_preprocess_emg_host_matches_oracle():
+    raw = RNG.normal(size=(2000, 8)).astype(np.float64)
+    before = RNG.normal(size=(300, 8)).astype(np.float64)
+    after = RNG.normal(size=(250, 8)).astype(np.float64)
+    ref_feats, ref_emg, ref_orig = _oracle_load_utterance_dsp(before, raw, after)
+    feats, emg, emg_orig = preprocess_emg_host(raw, before, after)
+    assert feats.shape == ref_feats.shape
+    assert emg.shape == ref_emg.shape
+    assert emg_orig.shape == ref_orig.shape
+    np.testing.assert_allclose(feats, ref_feats, rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(emg, ref_emg, rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(emg_orig, ref_orig, rtol=5e-2, atol=5e-3)
