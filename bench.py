@@ -1,0 +1,180 @@
+"""End-to-end throughput benchmark: DSP featurization + encoder + greedy
+decode, utterances/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the ratio against an equivalent torch-CPU stack
+(benchmarks/torch_baseline.py), measured once and cached in
+bench_baseline.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from emg_tpu.config import ModelConfig  # noqa: E402
+from emg_tpu.data.batching import PackedBatch  # noqa: E402
+from emg_tpu.decode.greedy import greedy_decode  # noqa: E402
+from emg_tpu.dsp.pipeline import preprocess_emg  # noqa: E402
+from emg_tpu.models import EMGModel  # noqa: E402
+
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+N_UTTS = 8  # synthetic utterances per iteration
+UTT_SAMPLES = 2000  # 2 s at 1000 Hz
+MAX_STEPS = 40
+DSP_BUCKET = 4096
+MAX_FRAMES = 256
+
+
+def synth_utterances(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(UTT_SAMPLES) / 1000.0
+    utts = []
+    for i in range(n):
+        base = rng.normal(size=(UTT_SAMPLES, 8))
+        hum = 0.5 * np.sin(2 * np.pi * 60 * t)[:, None]
+        utts.append((120 * base + 20 * hum).astype(np.float32))
+    return utts
+
+
+def build_tpu_pipeline():
+    cfg = ModelConfig()
+    model = EMGModel(cfg)
+
+    utts = synth_utterances(N_UTTS)
+    # figure out static geometry from one utterance
+    frames_per_utt = []
+    raw_lens = []
+    for u in utts:
+        buf = np.zeros((DSP_BUCKET, 8), np.float32)
+        buf[: u.shape[0]] = u
+        out = preprocess_emg(buf, u.shape[0], 0, 0, ())
+        F = int(out.n_frames)
+        frames_per_utt.append(F)
+        raw_lens.append(8 * F)
+
+    total_raw = sum(raw_lens)
+    n_rows = (total_raw + 1599) // 1600
+    rows_b = 8 * ((n_rows + 7) // 8)
+    lengths = np.asarray(frames_per_utt, np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
+
+    S = MAX_STEPS + 1
+    targets = np.full((N_UTTS, S), 42, np.int64)
+
+    batch_template = PackedBatch(
+        packed_raw=np.zeros((rows_b, 1600, 8), np.float32),
+        n_rows=np.int32(n_rows),
+        lengths=lengths,
+        offsets=offsets,
+        targets=targets,
+        target_lengths=np.full(N_UTTS, S, np.int32),
+        n_examples=np.int32(N_UTTS),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch_template.packed_raw, batch_template.n_rows,
+        batch_template.offsets, batch_template.lengths,
+        jnp.asarray(targets[:, :-1]), MAX_FRAMES, False,
+    )
+
+    @jax.jit
+    def featurize_all(raw_bufs, raw_ns):
+        """(U, T, 8) raw EMG -> per-utterance raw-path signals."""
+
+        def one(buf, n):
+            out = preprocess_emg(buf, n, 0, 0, ())
+            raw = out.emg_orig
+            raw = raw / 20.0
+            raw = 50.0 * jnp.tanh(raw / 50.0)
+            return raw, out.n_frames
+
+        return jax.vmap(one)(raw_bufs, raw_ns)
+
+    n_per = int(lengths[0]) * 8  # all synthetic utterances share one length
+    total_flat = rows_b * 1600
+
+    @jax.jit
+    def pack_and_decode(variables, raws, batch):
+        # equal-length utterances: concatenate the raw paths and pad with
+        # the 42.0 fill to the packed row geometry
+        flat = raws[:, :n_per, :].reshape(-1, 8)
+        flat = jnp.concatenate(
+            [flat, jnp.full((total_flat - flat.shape[0], 8), 42.0, jnp.float32)], axis=0
+        )
+        b = PackedBatch(
+            packed_raw=flat.reshape(-1, 1600, 8), n_rows=batch.n_rows,
+            lengths=batch.lengths, offsets=batch.offsets, targets=batch.targets,
+            target_lengths=batch.target_lengths, n_examples=batch.n_examples,
+        )
+        out, _ = greedy_decode(model, variables, b, MAX_FRAMES, MAX_STEPS)
+        return out
+
+    raw_bufs = np.zeros((N_UTTS, DSP_BUCKET, 8), np.float32)
+    raw_ns = np.zeros((N_UTTS,), np.int32)
+    for i, u in enumerate(utts):
+        raw_bufs[i, : u.shape[0]] = u
+        raw_ns[i] = u.shape[0]
+
+    def run_once():
+        raws, _ = featurize_all(jnp.asarray(raw_bufs), jnp.asarray(raw_ns))
+        out = pack_and_decode(variables, raws, batch_template)
+        return out
+
+    return run_once, utts
+
+
+def get_baseline(utts):
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_utt_per_sec"]
+    try:
+        from benchmarks.torch_baseline import measure_baseline
+
+        value = measure_baseline(utts[:2], max_steps=MAX_STEPS)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"torch_cpu_utt_per_sec": value}, f)
+        return value
+    except Exception as e:  # pragma: no cover
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        return None
+
+
+def main():
+    run_once, utts = build_tpu_pipeline()
+    out = run_once()
+    jax.block_until_ready(out)  # compile
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = run_once()
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    utt_per_sec = N_UTTS * iters / dt
+
+    baseline = get_baseline(utts)
+    vs = (utt_per_sec / baseline) if baseline else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_utterances_per_sec_per_chip",
+                "value": round(utt_per_sec, 2),
+                "unit": "utt/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

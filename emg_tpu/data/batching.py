@@ -16,6 +16,7 @@ import bisect
 from dataclasses import dataclass
 from typing import List, Sequence
 
+import jax
 import numpy as np
 
 PAD_VALUE = 42.0  # reference pads raw EMG with FLAGS.pad == 42
@@ -34,6 +35,7 @@ def bucket_up(value: int, buckets: Sequence[int]) -> int:
     return buckets[i]
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class PackedBatch:
     """Static-shape device batch for the training/eval step."""

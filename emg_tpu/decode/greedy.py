@@ -1,0 +1,100 @@
+"""Batched greedy autoregressive decoding, device-resident.
+
+Semantics match the reference run_greedy (greedy_search.py:7-53): start from
+<S>, argmax the decoder's final position each step, keep extending the raw
+argmax chain even after a sequence emits </S> (the reference's dec_input
+grows with raw predictions), stop when every sequence has emitted </S> or
+after target_len steps, and report each sequence cut at its first </S> with
+<PAD> fill — the exact matrix used for the token-accuracy metric. The loop
+is a jax.lax.while_loop over a fixed-size token buffer (early exit when all
+sequences end), so the whole decode is one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emg_tpu.data.batching import PackedBatch
+from emg_tpu.text.phonemes import END_ID, PAD_ID, PHONEME_INVENTORY, START_ID
+
+
+def greedy_decode(
+    model,
+    variables,
+    batch: PackedBatch,
+    max_frames: int,
+    max_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (out_matrix (B, max_steps+1), raw_tokens (B, max_steps+1)).
+
+    out_matrix is the reference's new_word_seq_idx: <S>, then the argmax
+    chain cut at (and including) the first </S>, PAD elsewhere.
+    """
+    S = max_steps + 1  # +1 for the leading <S>
+
+    memory, _, src_pad_mask = model.apply(
+        variables,
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths, max_frames,
+        train=False,
+        method=model.encode,
+    )
+    B = memory.shape[0]
+
+    def decode_step(tokens):
+        return model.apply(
+            variables, tokens, memory, src_pad_mask, False, method=model.decode
+        )
+
+    tokens0 = jnp.full((B, S), PAD_ID, jnp.int32).at[:, 0].set(START_ID)
+    ended0 = jnp.zeros((B,), bool)
+
+    def cond(carry):
+        tokens, ended, s = carry
+        return (s < S) & ~jnp.all(ended)
+
+    def body(carry):
+        tokens, ended, s = carry
+        logits = decode_step(tokens)  # (B, S, 43)
+        last = jax.lax.dynamic_index_in_dim(logits, s - 1, axis=1, keepdims=False)
+        predicted = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        tokens = jnp.where(
+            jnp.arange(S)[None, :] == s, predicted[:, None], tokens
+        )
+        ended = ended | (predicted == END_ID)
+        return tokens, ended, s + 1
+
+    tokens, ended, _ = jax.lax.while_loop(cond, body, (tokens0, ended0, jnp.int32(1)))
+
+    # cut at first </S> (inclusive): positions after it become PAD
+    is_end = tokens == END_ID
+    # index of first END per row (S if none)
+    first_end = jnp.where(
+        jnp.any(is_end, axis=1), jnp.argmax(is_end, axis=1), S
+    )
+    pos = jnp.arange(S)[None, :]
+    keep = pos <= first_end[:, None]
+    # positions never generated (loop exited early) are PAD in tokens already
+    out = jnp.where(keep, tokens, PAD_ID)
+    return out, tokens
+
+
+def matrix_to_phone_strings(matrix: np.ndarray) -> List[str]:
+    """Rows of the accuracy matrix -> space-joined phone name strings."""
+    out = []
+    for row in np.asarray(matrix):
+        names = [PHONEME_INVENTORY[int(t)] for t in row if int(t) != PAD_ID]
+        out.append(" ".join(names))
+    return out
+
+
+def run_greedy(model, variables, batch: PackedBatch, max_frames: int,
+               target_len: int) -> Tuple[List[str], np.ndarray]:
+    """Host wrapper mirroring the reference signature: returns
+    (phone strings, accuracy matrix). ``target_len`` is tgt.shape[1] (the
+    padded target length minus the leading <S>)."""
+    out, _ = greedy_decode(model, variables, batch, max_frames, target_len)
+    return matrix_to_phone_strings(out), np.asarray(out)

@@ -1,0 +1,13 @@
+from emg_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_pspec,
+    param_pspec,
+    shard_params,
+    param_shardings,
+    replicated,
+)
+from emg_tpu.parallel.train_step import (  # noqa: F401
+    make_train_step,
+    make_eval_step,
+    compute_losses,
+)

@@ -1,0 +1,146 @@
+"""Jitted training/eval steps with gradient accumulation, in global view.
+
+Loss wiring follows the reference training loop (recognition_model.py:77-118):
+teacher inputs are targets[:, :-1], CE targets are targets[:, 1:], CTC labels
+are the per-example phoneme ids stripped of <S>/</S> (realized as
+targets[:, 1:] with label lengths - 2), CTC input lengths are the encoder
+frame counts, and the two losses combine as (1-alpha)*dec + alpha*enc.
+Gradients are summed across microbatches and applied once the accumulated
+example count reaches batch_size_grad, at the warmup LR of the *microbatch*
+counter — both quirks matching the reference exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from emg_tpu.data.batching import PackedBatch
+from emg_tpu.ops import combined_loss, ctc_loss, label_smoothing_loss
+from emg_tpu.text.phonemes import BLANK_ID, PAD_ID
+from emg_tpu.train.state import TrainState, warmup_lr
+
+
+def compute_losses(model, params, batch_stats, batch: PackedBatch, max_frames: int,
+                   rngs=None, train: bool = False):
+    """Returns ((loss, dec_loss, enc_loss), new_batch_stats)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    tgt_in = batch.targets[:, :-1]
+    ce_target = batch.targets[:, 1:]
+    B = batch.targets.shape[0]
+    batch_mask = jnp.arange(B) < batch.n_examples
+
+    if train:
+        out, updated = model.apply(
+            variables,
+            batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+            tgt_in, max_frames, True,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+        enc_logits, dec_logits = out
+        new_bs = updated["batch_stats"]
+    else:
+        enc_logits, dec_logits = model.apply(
+            variables,
+            batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+            tgt_in, max_frames, False,
+        )
+        new_bs = batch_stats
+
+    log_probs = jax.nn.log_softmax(enc_logits, axis=-1)
+    enc_loss = ctc_loss(
+        log_probs,
+        batch.lengths,
+        batch.targets[:, 1:],
+        jnp.maximum(batch.target_lengths - 2, 0),
+        blank=BLANK_ID,
+        batch_mask=batch_mask,
+    )
+    true_S = jnp.max(batch.target_lengths) - 1  # teacher sequence length
+    dec_loss = label_smoothing_loss(
+        dec_logits, ce_target, epsilon=0.1, pad_id=PAD_ID,
+        batch_mask=batch_mask, seq_len=true_S,
+    )
+    return (dec_loss, enc_loss), new_bs
+
+
+def make_train_step(model, cfg, max_frames: int):
+    """Build the jitted microbatch step: grad, accumulate, maybe apply."""
+
+    alpha = cfg.alpha_loss
+
+    def loss_fn(params, batch_stats, batch, dropout_rng, shift_rng):
+        (dec_loss, enc_loss), new_bs = compute_losses(
+            model, params, batch_stats, batch, max_frames,
+            rngs={"dropout": dropout_rng, "shift": shift_rng}, train=True,
+        )
+        loss = combined_loss(dec_loss, enc_loss, alpha)
+        return loss, (dec_loss, enc_loss, new_bs)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: PackedBatch, rng) -> Tuple[TrainState, dict]:
+        dropout_rng, shift_rng = jax.random.split(jax.random.fold_in(rng, state.microbatches))
+        (loss, (dec_loss, enc_loss, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, dropout_rng, shift_rng)
+        accum = jax.tree.map(jnp.add, state.accum_grads, grads)
+        n_accum = state.accum_examples + batch.n_examples
+        lr = warmup_lr(state.cfg, state.microbatches)
+
+        def do_apply(args):
+            accum, opt_state, params = args
+            hp = dict(opt_state.hyperparams)
+            hp["learning_rate"] = lr
+            opt_state = opt_state._replace(hyperparams=hp)
+            updates, new_opt = state.tx.update(accum, opt_state, params)
+            new_params = jax.tree.map(jnp.add, params, updates)
+            zeros = jax.tree.map(jnp.zeros_like, accum)
+            return new_params, new_opt, zeros, jnp.zeros((), jnp.int32)
+
+        def no_apply(args):
+            accum, opt_state, params = args
+            return params, opt_state, accum, n_accum
+
+        apply_now = n_accum >= state.cfg.batch_size_grad
+        new_params, new_opt, new_accum, new_count = jax.lax.cond(
+            apply_now, do_apply, no_apply, (accum, state.opt_state, state.params)
+        )
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            accum_grads=new_accum,
+            accum_examples=new_count,
+            microbatches=state.microbatches + 1,
+            updates=state.updates + apply_now.astype(jnp.int32),
+        )
+        metrics = {
+            "loss": loss,
+            "dec_loss": dec_loss,
+            "enc_loss": enc_loss,
+            "lr": lr,
+            "applied": apply_now,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg, max_frames: int):
+    alpha = cfg.alpha_loss
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch: PackedBatch) -> dict:
+        (dec_loss, enc_loss), _ = compute_losses(
+            model, params, batch_stats, batch, max_frames, train=False
+        )
+        return {
+            "loss": combined_loss(dec_loss, enc_loss, alpha),
+            "dec_loss": dec_loss,
+            "enc_loss": enc_loss,
+        }
+
+    return eval_step
