@@ -1,0 +1,173 @@
+"""Stage-7 tests: ARPA LM scoring (python + native parity), prefix tree
+table compilation, and beam search end-to-end behavior."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from emg_tpu.config import DecodeConfig
+from emg_tpu.decode import (
+    ArpaLanguageModel,
+    BeamSearcher,
+    init_tree,
+    write_fixture_arpa,
+)
+from emg_tpu.text.phonemes import START_ID
+
+from tests.test_train_step import tiny_model, toy_batch
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def arpa_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("lm") / "lm.arpa"
+    write_fixture_arpa(
+        str(p),
+        ["the cat sat", "the dog ran", "the cat ran", "a dog sat"],
+    )
+    return str(p)
+
+
+def test_arpa_scoring_hand_values(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    assert lm.order == 2
+    # p(the | <s>) = 3/4 occurrences of <s> followed by 'the'
+    expected = math.log10(3 / 4)
+    got = lm.score("the", bos=True, eos=False)
+    assert got == pytest.approx(expected, abs=1e-4)
+    # full sentence with eos: p(the|<s>) p(cat|the) p(sat|cat) p(</s>|sat)
+    # 'sat' occurs twice, both sentence-final, so p(</s>|sat) = 1
+    exp = (
+        math.log10(3 / 4) + math.log10(2 / 3) + math.log10(1 / 2) + math.log10(1.0)
+    )
+    assert lm.score("the cat sat", bos=True, eos=True) == pytest.approx(exp, abs=1e-4)
+
+
+def test_arpa_backoff(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    # 'sat dog' bigram unseen: backoff(sat) + p(dog) = -0.30103 + log10(2/N)
+    total_unigrams = sum(1 for _ in open(arpa_path) if False) or None
+    score = lm.score("sat dog", bos=False, eos=False)
+    p_sat = lm.ngrams[1][("sat",)][0]
+    p_dog = lm.ngrams[1][("dog",)][0]
+    assert score == pytest.approx(p_sat + (-0.30103) + p_dog, abs=1e-4)
+
+
+def test_arpa_oov(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    unk = lm.ngrams[1][("<unk>",)][0]
+    # unseen word backs off <s> then scores <unk>
+    s = lm.score("zzz", bos=False, eos=False)
+    assert s == pytest.approx(unk, abs=1e-4)
+
+
+def test_native_lm_matches_python(arpa_path):
+    pytest.importorskip("ctypes")
+    try:
+        from emg_tpu.decode.lm_binding import NativeArpaLanguageModel
+
+        native = NativeArpaLanguageModel(arpa_path)
+    except Exception as e:
+        pytest.skip(f"native lm unavailable: {e}")
+    py = ArpaLanguageModel(arpa_path)
+    for sent, bos, eos in [
+        ("the cat sat", True, True),
+        ("the dog ran", True, False),
+        ("sat dog", False, False),
+        ("zzz the cat", True, True),
+        ("", True, True),
+    ]:
+        assert native.score(sent, bos, eos) == pytest.approx(
+            py.score(sent, bos, eos), abs=1e-4
+        ), sent
+
+
+def test_prefix_tree_tables():
+    tree = init_tree(
+        os.path.join(FIXTURES, "phonesSet"),
+        os.path.join(FIXTURES, "vocabulary"),
+        os.path.join(FIXTURES, "lexicon.txt"),
+    )
+    dct = tree._dictionary
+    # CAT = K AE T reachable
+    k = dct.lookup_phone_by_name("K")
+    ae = dct.lookup_phone_by_name("AE")
+    t = dct.lookup_phone_by_name("T")
+    assert tree.is_word([k, ae, t])
+    assert not tree.is_word([k, ae])
+    succ = {p.name for p in tree.get_successor_phones([k, ae])}
+    assert "T" in succ
+
+    ct = tree.compile_tables()
+    # walk K->AE->T via tables
+    n = ct.child_table[ct.root, k.idx]
+    assert n >= 0
+    n = ct.child_table[n, ae.idx]
+    n = ct.child_table[n, t.idx]
+    assert n >= 0
+    cat_id = dct.lookup_word_by_name("CAT").idx
+    assert cat_id in ct.node_words[n]
+    # masks: root allows end token (col 40) and valid first phones
+    assert ct.mask_table[ct.root, 40] == 0.0
+    assert ct.mask_table[ct.root, k.idx] == 0.0
+    # an interior node forbids the end token
+    mid = ct.child_table[ct.root, k.idx]
+    assert np.isneginf(ct.mask_table[mid, 40])
+    # step semantics: end token keeps node in place
+    stepped = ct.step(np.array([ct.root]), np.array([40]))
+    assert stepped[0] == ct.root
+
+
+def test_beam_search_end_to_end(arpa_path):
+    """Beam search over a tiny random model returns lexicon words only."""
+    tree = init_tree(
+        os.path.join(FIXTURES, "phonesSet"),
+        os.path.join(FIXTURES, "vocabulary"),
+        os.path.join(FIXTURES, "lexicon.txt"),
+    ).compile_tables()
+    lm = ArpaLanguageModel(arpa_path)
+    model = tiny_model()
+    batch = toy_batch(B=1, n_rows=2, chunk=64, S=10, seed=11)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    cfg = DecodeConfig(BeamWidth=8, max_hypos=64, extra_steps=4)
+    searcher = BeamSearcher(model, variables, tree, lm, cfg, max_frames=16)
+    target_len = int((batch.targets[0, 1:] != 40).sum())
+    history, score, names = searcher.search(batch, target_len)
+    assert history[0] == START_ID
+    assert np.isfinite(score)
+    # constrained search can only produce vocabulary words
+    vocab = {tree.dictionary.lookup_word_by_index(i).name
+             for i in tree.dictionary.words_by_index()}
+    for n in names:
+        assert n in vocab
+    # the phone history must spell the word sequence through the lexicon
+    assert history[-1] == 40  # ends with </S>
+
+
+def test_beam_search_unconstrained_flag(arpa_path):
+    tree = init_tree(
+        os.path.join(FIXTURES, "phonesSet"),
+        os.path.join(FIXTURES, "vocabulary"),
+        os.path.join(FIXTURES, "lexicon.txt"),
+    ).compile_tables()
+    lm = ArpaLanguageModel(arpa_path)
+    model = tiny_model()
+    batch = toy_batch(B=1, n_rows=2, chunk=64, S=8, seed=13)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(5)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    cfg = DecodeConfig(BeamWidth=4, max_hypos=32, extra_steps=2, Constrained=False)
+    searcher = BeamSearcher(model, variables, tree, lm, cfg, max_frames=16)
+    history, score, names = searcher.search(batch, 5)
+    assert history[0] == START_ID
