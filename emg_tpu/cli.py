@@ -1,0 +1,175 @@
+"""CLI entry point — train / greedy-eval / beam-eval dispatch.
+
+Mirrors the reference speech_recognition/recognition_model.py __main__
+(:385-420): flag-driven dispatch on evaluate_saved_{beam,greedy}_search,
+logging to <output_directory>/log{,_beam_search,_greedy_search}.txt, the
+train/dev split announcement, and the same evaluation protocols (batch-1
+greedy PER + token accuracy; lexicon+LM beam WER with cleaned text).
+
+  python -m emg_tpu.cli --output_directory out ...             # train
+  python -m emg_tpu.cli --evaluate_saved_greedy_search CKPT ...
+  python -m emg_tpu.cli --evaluate_saved_beam_search CKPT ...
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import numpy as np
+
+from emg_tpu.config import Config
+
+log = logging.getLogger(__name__)
+
+
+def _setup_logging(output_directory: str, filename: str):
+    os.makedirs(output_directory, exist_ok=True)
+    logging.basicConfig(
+        handlers=[
+            logging.FileHandler(os.path.join(output_directory, filename), "w"),
+            logging.StreamHandler(),
+        ],
+        level=logging.INFO,
+        format="%(message)s",
+        force=True,
+    )
+    for noisy in ("orbax", "absl", "jax"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+
+
+def _prepare_single(cfg: Config, testset, i: int):
+    from emg_tpu.data.batching import FRAME_BUCKETS, bucket_up, make_packed_batch
+    from emg_tpu.data.dataset import EMGDataset
+
+    ex = testset[i]
+    batch = EMGDataset.collate_raw([ex])
+    pb = make_packed_batch(
+        batch["raw_emg"], batch["lengths"], batch["phonemes_int"],
+        chunk=cfg.data.packed_chunk,
+    )
+    max_frames = bucket_up(max(batch["lengths"]), FRAME_BUCKETS)
+    return pb, max_frames, batch
+
+
+def _load_model_for_eval(cfg: Config, ckpt_path: str, testset):
+    import jax
+
+    from emg_tpu.models import EMGModel
+    from emg_tpu.train.checkpoint import CheckpointManager
+
+    model = EMGModel(cfg.model)
+    pb, max_frames, _ = _prepare_single(cfg, testset, 0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        pb.packed_raw, pb.n_rows, pb.offsets, pb.lengths,
+        pb.targets[:, :-1], max_frames, False,
+    )
+    mgr = CheckpointManager(ckpt_path)
+    params, batch_stats = mgr.restore_params()
+    return model, {"params": params, "batch_stats": batch_stats}
+
+
+def evaluate_saved_greedy_search(cfg: Config):
+    from emg_tpu.data.dataset import EMGDataset
+    from emg_tpu.decode.greedy import run_greedy
+    from emg_tpu.text.metrics import wer
+
+    testset = EMGDataset(cfg, test=True)
+    model, variables = _load_model_for_eval(
+        cfg, cfg.paths.evaluate_saved_greedy_search, testset
+    )
+    references, predictions = [], []
+    running_total = running_correct = 0
+    for i in range(len(testset)):
+        pb, max_frames, raw = _prepare_single(cfg, testset, i)
+        S_true = int(raw["phonemes_int_lengths"][0])
+        target_len = S_true - 1
+        strings, matrix = run_greedy(
+            model, variables, pb, max_frames, target_len, pb.targets.shape[1] - 1
+        )
+        y = np.full((1, S_true), 42, np.int64)
+        y[0, : S_true] = raw["phonemes_int"][0]
+        matrix = matrix[:1, :S_true]
+        predictions += strings[:1]
+        references += raw["phonemes"]
+        running_total += y.size
+        running_correct += int((matrix == y).sum())
+        log.info(
+            "Prediction:%s ---> Reference:%s  (PER: %s)",
+            strings[0], raw["phonemes"][0], wer(raw["phonemes"][0], strings[0]),
+        )
+    per = wer(references, predictions)
+    acc = round(100 * running_correct / max(running_total, 1), 1)
+    log.info("PER: %s and accuracy: %s", per, acc)
+    return per, acc
+
+
+def evaluate_saved_beam_search(cfg: Config):
+    from emg_tpu.data.dataset import EMGDataset
+    from emg_tpu.decode.beam import BeamSearcher
+    from emg_tpu.decode.ngram import load_language_model
+    from emg_tpu.decode.prefix_tree import init_tree
+    from emg_tpu.text.metrics import wer
+    from emg_tpu.text.phonemes import TextTransform
+
+    testset = EMGDataset(cfg, test=True)
+    model, variables = _load_model_for_eval(
+        cfg, cfg.paths.evaluate_saved_beam_search, testset
+    )
+    tree = init_tree(cfg.paths.phonesSet, cfg.paths.vocabulary, cfg.paths.dict)
+    compiled = tree.compile_tables()
+    lm = load_language_model(cfg.paths.lang_model)
+    tt = TextTransform()
+
+    references, predictions = [], []
+    for i in range(len(testset)):
+        pb, max_frames, raw = _prepare_single(cfg, testset, i)
+        searcher = BeamSearcher(model, variables, compiled, lm, cfg.decode, max_frames)
+        target = raw["phonemes_int"][0][1:]
+        target_len = int((target != 40).sum())
+        _, _, words = searcher.search(pb, target_len)
+        pred_text = tt.clean_text(" ".join(words))
+        target_text = tt.clean_text(raw["text"][0])
+        if len(target_text) != 0:
+            references.append(target_text)
+            predictions.append(pred_text)
+            log.info(
+                "Prediction:%s ---> Reference:%s  (WER: %s)",
+                pred_text, target_text, wer(target_text, pred_text),
+            )
+    final = wer(references, predictions)
+    log.info("Final WER: %s", final)
+    return final
+
+
+def train(cfg: Config):
+    from emg_tpu.data.dataset import EMGDataset
+    from emg_tpu.train.metrics_writer import MetricsWriter, default_log_dir
+    from emg_tpu.train.trainer import Trainer
+
+    trainset = EMGDataset(cfg, dev=False, test=False)
+    devset = EMGDataset(cfg, dev=True)
+    log.info("train / dev split: %d %d", len(trainset), len(devset))
+    writer = MetricsWriter(default_log_dir())
+    trainer = Trainer(cfg, trainset, devset, writer)
+    return trainer.train()
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = Config.from_args(argv)
+    if cfg.paths.evaluate_saved_beam_search:
+        _setup_logging(cfg.paths.output_directory, "log_beam_search.txt")
+        evaluate_saved_beam_search(cfg)
+    elif cfg.paths.evaluate_saved_greedy_search:
+        _setup_logging(cfg.paths.output_directory, "log_greedy_search.txt")
+        evaluate_saved_greedy_search(cfg)
+    else:
+        _setup_logging(cfg.paths.output_directory, "log.txt")
+        train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,12 +7,13 @@ grows with raw predictions), stop when every sequence has emitted </S> or
 after target_len steps, and report each sequence cut at its first </S> with
 <PAD> fill — the exact matrix used for the token-accuracy metric. The loop
 is a jax.lax.while_loop over a fixed-size token buffer (early exit when all
-sequences end), so the whole decode is one XLA program.
+sequences end), so the whole decode is one XLA program; ``num_steps`` may be
+a traced scalar so one compilation serves every target-length bucket.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,13 +29,20 @@ def greedy_decode(
     batch: PackedBatch,
     max_frames: int,
     max_steps: int,
+    num_steps=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out_matrix (B, max_steps+1), raw_tokens (B, max_steps+1)).
 
-    out_matrix is the reference's new_word_seq_idx: <S>, then the argmax
-    chain cut at (and including) the first </S>, PAD elsewhere.
+    ``max_steps`` is the static buffer bound; ``num_steps`` (traced scalar,
+    default = max_steps) is the actual decode-length limit — the reference's
+    ``target_len`` bound. out_matrix is the reference's new_word_seq_idx:
+    <S>, then the argmax chain cut at (and including) the first </S>, PAD
+    elsewhere.
     """
     S = max_steps + 1  # +1 for the leading <S>
+    if num_steps is None:
+        num_steps = max_steps
+    num_steps = jnp.asarray(num_steps, jnp.int32)
 
     memory, _, src_pad_mask = model.apply(
         variables,
@@ -54,7 +62,7 @@ def greedy_decode(
 
     def cond(carry):
         tokens, ended, s = carry
-        return (s < S) & ~jnp.all(ended)
+        return (s <= num_steps) & (s < S) & ~jnp.all(ended)
 
     def body(carry):
         tokens, ended, s = carry
@@ -71,13 +79,9 @@ def greedy_decode(
 
     # cut at first </S> (inclusive): positions after it become PAD
     is_end = tokens == END_ID
-    # index of first END per row (S if none)
-    first_end = jnp.where(
-        jnp.any(is_end, axis=1), jnp.argmax(is_end, axis=1), S
-    )
+    first_end = jnp.where(jnp.any(is_end, axis=1), jnp.argmax(is_end, axis=1), S)
     pos = jnp.arange(S)[None, :]
     keep = pos <= first_end[:, None]
-    # positions never generated (loop exited early) are PAD in tokens already
     out = jnp.where(keep, tokens, PAD_ID)
     return out, tokens
 
@@ -92,9 +96,11 @@ def matrix_to_phone_strings(matrix: np.ndarray) -> List[str]:
 
 
 def run_greedy(model, variables, batch: PackedBatch, max_frames: int,
-               target_len: int) -> Tuple[List[str], np.ndarray]:
+               target_len: int, static_cap: Optional[int] = None) -> Tuple[List[str], np.ndarray]:
     """Host wrapper mirroring the reference signature: returns
-    (phone strings, accuracy matrix). ``target_len`` is tgt.shape[1] (the
-    padded target length minus the leading <S>)."""
-    out, _ = greedy_decode(model, variables, batch, max_frames, target_len)
-    return matrix_to_phone_strings(out), np.asarray(out)
+    (phone strings, accuracy matrix cut to target_len+1 columns).
+    ``target_len`` is tgt.shape[1] (the padded target length minus <S>)."""
+    cap = static_cap if static_cap is not None else target_len
+    out, _ = greedy_decode(model, variables, batch, max_frames, cap, num_steps=target_len)
+    out = np.asarray(out)[:, : target_len + 1]
+    return matrix_to_phone_strings(out), out

@@ -133,7 +133,7 @@ class EMGModel(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         """Returns dec_logits (B, S, 43)."""
-        table = self.embedding_tgt.embedding
+        table = jnp.asarray(self.embedding_tgt.embedding)
         # torch padding_idx semantics: the PAD row is pinned to zero (it
         # still reaches the loss through the exp-logit regularizer, so it
         # must stay exactly zero rather than drift)

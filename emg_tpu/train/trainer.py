@@ -1,0 +1,244 @@
+"""The training orchestrator: epochs, accumulation, eval, PER, checkpoints.
+
+Loop structure mirrors the reference train_model (recognition_model.py:52-317):
+dynamic-batch samplers with per-epoch reshuffling, per-microbatch train steps
+with gradient accumulation, an evaluation pass over 10 dev batches plus a
+loss report every ``report_loss`` steps, a greedy-decode PER report (15 train
+batches + the full dev set) every ``report_PER`` epochs, best-dev-PER
+weights retention, and early stop when the epoch's mean loss rounds to zero.
+On top of the reference: full train-state checkpoints for resume, scheduled
+sampling and electrode-rotation recipes, and bucketed static shapes so XLA
+compiles a handful of programs.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from emg_tpu.config import Config
+from emg_tpu.data.batching import (
+    FRAME_BUCKETS,
+    bucket_up,
+    make_packed_batch,
+)
+from emg_tpu.data.dataset import EMGDataset
+from emg_tpu.data.sampler import DynamicBatchSampler
+from emg_tpu.decode.greedy import matrix_to_phone_strings, run_greedy
+from emg_tpu.models import EMGModel
+from emg_tpu.parallel.train_step import make_eval_step, make_train_step
+from emg_tpu.text.metrics import wer
+from emg_tpu.train.checkpoint import CheckpointManager
+from emg_tpu.train.metrics_writer import MetricsWriter
+from emg_tpu.train.state import TrainState, create_train_state
+
+log = logging.getLogger(__name__)
+
+
+def merge_params(base, loaded):
+    """strict=False warm start: take loaded leaves whose shapes match."""
+
+    def merge(a, b):
+        if isinstance(a, dict) and isinstance(b, dict):
+            return {k: merge(a[k], b[k]) if k in b else a[k] for k in a}
+        if hasattr(a, "shape") and hasattr(b, "shape") and a.shape == b.shape:
+            return b
+        return a
+
+    return merge(base, loaded)
+
+
+class Trainer:
+    def __init__(self, config: Config, trainset: EMGDataset, devset: EMGDataset,
+                 writer: MetricsWriter):
+        self.config = config
+        self.trainset = trainset
+        self.devset = devset
+        self.writer = writer
+        self.model = EMGModel(config.model)
+        self._train_steps = {}
+        self._eval_steps = {}
+        self.ckpt = CheckpointManager(config.paths.output_directory)
+        self.rng = jax.random.PRNGKey(config.train.seed)
+
+    # -- batch assembly ----------------------------------------------------
+    def _prepare(self, dataset: EMGDataset, idxs: List[int]):
+        examples = [dataset[i] for i in idxs]
+        batch = EMGDataset.collate_raw(examples)
+        pb = make_packed_batch(
+            batch["raw_emg"], batch["lengths"], batch["phonemes_int"],
+            chunk=self.config.data.packed_chunk,
+        )
+        max_frames = bucket_up(max(batch["lengths"]), FRAME_BUCKETS)
+        return pb, max_frames, batch
+
+    def _train_step_for(self, max_frames: int):
+        if max_frames not in self._train_steps:
+            self._train_steps[max_frames] = make_train_step(
+                self.model, self.config.train, max_frames
+            )
+        return self._train_steps[max_frames]
+
+    def _eval_step_for(self, max_frames: int):
+        if max_frames not in self._eval_steps:
+            self._eval_steps[max_frames] = make_eval_step(
+                self.model, self.config.train, max_frames
+            )
+        return self._eval_steps[max_frames]
+
+    # -- initialization ----------------------------------------------------
+    def init_state(self) -> TrainState:
+        pb, max_frames, _ = self._prepare(self.trainset, [0])
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(0)},
+            pb.packed_raw, pb.n_rows, pb.offsets, pb.lengths,
+            pb.targets[:, :-1], max_frames, False,
+        )
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        if self.config.paths.start_training_from:
+            loaded_params, loaded_bs = CheckpointManager(
+                self.config.paths.start_training_from
+            ).restore_params()
+            params = merge_params(params, loaded_params)
+            batch_stats = merge_params(batch_stats, loaded_bs)
+            log.info("warm started from %s", self.config.paths.start_training_from)
+        return create_train_state(params, batch_stats, self.config.train)
+
+    # -- evaluation --------------------------------------------------------
+    def evaluation_loop(self, state: TrainState, sampler) -> Dict[str, float]:
+        totals = {"loss": 0.0, "dec_loss": 0.0, "enc_loss": 0.0}
+        steps = 0
+        for step, idxs in enumerate(sampler):
+            pb, max_frames, _ = self._prepare(self.devset, idxs)
+            metrics = self._eval_step_for(max_frames)(
+                state.params, state.batch_stats, pb
+            )
+            for k in totals:
+                totals[k] += float(metrics[k])
+            steps += 1
+            if step + 1 == self.config.train.eval_batches:
+                break
+        return {k: v / max(steps, 1) for k, v in totals.items()}
+
+    def report_PER(self, state: TrainState, train_sampler, dev_sampler, epoch: int,
+                   batch_idx: int) -> float:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def decode_set(dataset, sampler, max_batches=None):
+            preds, refs, correct, total = [], [], 0, 0
+            for step, idxs in enumerate(sampler):
+                pb, max_frames, raw = self._prepare(dataset, idxs)
+                S_true = int(max(raw["phonemes_int_lengths"]))
+                target_len = S_true - 1
+                static_cap = pb.targets.shape[1] - 1
+                strings, matrix = run_greedy(
+                    self.model, variables, pb, max_frames, target_len, static_cap
+                )
+                B = len(idxs)
+                y = np.full((B, S_true), 42, np.int64)
+                for b, p in enumerate(raw["phonemes_int"]):
+                    y[b, : len(p)] = p
+                matrix = matrix[:B, :S_true]
+                preds += strings[:B]
+                refs += raw["phonemes"]
+                total += y.shape[0] * y.shape[1]
+                correct += int((matrix == y).sum())
+                if max_batches and step + 1 == max_batches:
+                    break
+            return preds, refs, correct, total
+
+        t_preds, t_refs, t_corr, t_total = decode_set(
+            self.trainset, train_sampler, self.config.train.per_train_batches
+        )
+        d_preds, d_refs, d_corr, d_total = decode_set(self.devset, dev_sampler)
+
+        train_per = wer(t_refs, t_preds)
+        eval_per = wer(d_refs, d_preds)
+        log.info("---- Prediction Evaluation ----")
+        if d_preds:
+            log.info(
+                "Evaluation Prediction: %s ---> Reference: %s (PER %.4f)",
+                d_preds[0], d_refs[0], wer(d_refs[0], d_preds[0]),
+            )
+        self.writer.add_scalar("PhonemeErrorRate/Training", train_per, batch_idx)
+        self.writer.add_scalar("PhonemeErrorRate/Evaluation", eval_per, batch_idx)
+        self.writer.add_scalar("PhonemeErrorRate_Epoch/Training", train_per, epoch)
+        self.writer.add_scalar("PhonemeErrorRate_Epoch/Evaluation", eval_per, epoch)
+        self.writer.add_scalar(
+            "Accuracy_Epoch/Training", round(100 * t_corr / max(t_total, 1), 1), epoch
+        )
+        self.writer.add_scalar(
+            "Accuracy_Epoch/Evaluation", round(100 * d_corr / max(d_total, 1), 1), epoch
+        )
+        self.writer.flush()
+        return eval_per
+
+    # -- the loop ----------------------------------------------------------
+    def train(self, state: Optional[TrainState] = None) -> TrainState:
+        cfg = self.config.train
+        if state is None:
+            state = self.init_state()
+
+        train_sampler = DynamicBatchSampler(
+            self.trainset, cfg.max_batch_length, cfg.n_buckets,
+            shuffle=True, batch_ordering="random", seed=cfg.seed,
+        )
+        dev_sampler = DynamicBatchSampler(
+            self.devset, cfg.max_batch_length, cfg.n_buckets,
+            shuffle=True, batch_ordering="random", seed=cfg.seed,
+        )
+
+        best_eval_PER = 10.0
+        curr_eval_PER = 0.0
+        batch_idx = int(state.microbatches)
+        run_train: Dict[str, float] = {"loss": 0.0, "dec": 0.0, "enc": 0.0, "n": 0}
+
+        for epoch_idx in range(cfg.n_epochs):
+            losses: List[float] = []
+            epoch_start = time.time()
+            for step, idxs in enumerate(train_sampler):
+                pb, max_frames, _ = self._prepare(self.trainset, idxs)
+                state, metrics = self._train_step_for(max_frames)(
+                    state, pb, self.rng
+                )
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                run_train["loss"] += loss
+                run_train["dec"] += float(metrics["dec_loss"])
+                run_train["enc"] += float(metrics["enc_loss"])
+                run_train["n"] += 1
+                batch_idx += 1
+
+                if (step + 1) % cfg.report_loss == 0:
+                    ev = self.evaluation_loop(state, dev_sampler)
+                    n = max(run_train["n"], 1)
+                    self.writer.add_scalar("Loss/Training", round(run_train["loss"] / n, 3), batch_idx)
+                    self.writer.add_scalar("Loss_Decoder/Training", round(run_train["dec"] / n, 3), batch_idx)
+                    self.writer.add_scalar("Loss_Encoder/Training", round(run_train["enc"] / n, 3), batch_idx)
+                    self.writer.add_scalar("Loss/Evaluation", round(ev["loss"], 3), batch_idx)
+                    self.writer.add_scalar("Loss_Decoder/Evaluation", round(ev["dec_loss"], 3), batch_idx)
+                    self.writer.add_scalar("Loss_Encoder/Evaluation", round(ev["enc_loss"], 3), batch_idx)
+                    self.writer.flush()
+                    run_train = {"loss": 0.0, "dec": 0.0, "enc": 0.0, "n": 0}
+
+            train_sampler.set_epoch(epoch_idx + 1)
+            if epoch_idx % cfg.report_PER == 0:
+                curr_eval_PER = self.report_PER(
+                    state, train_sampler, dev_sampler, epoch_idx, batch_idx
+                )
+            mean_loss = float(np.mean(losses)) if losses else 0.0
+            log.info(
+                "-----finished epoch %d - training loss: %.4f (%.1fs)------",
+                epoch_idx + 1, mean_loss, time.time() - epoch_start,
+            )
+            self.ckpt.save(state, "latest", extra={"epoch": epoch_idx})
+            if curr_eval_PER < best_eval_PER:
+                self.ckpt.save_params(state.params, state.batch_stats, "model")
+                best_eval_PER = curr_eval_PER
+            if round(mean_loss, 1) == 0.0:
+                break
+        return state
