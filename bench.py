@@ -22,7 +22,7 @@ sys.path.insert(0, REPO)
 
 from emg_tpu.config import ModelConfig  # noqa: E402
 from emg_tpu.data.batching import PackedBatch  # noqa: E402
-from emg_tpu.decode.greedy import greedy_decode  # noqa: E402
+from emg_tpu.decode.greedy import greedy_decode_cached  # noqa: E402
 from emg_tpu.dsp.pipeline import preprocess_emg  # noqa: E402
 from emg_tpu.models import EMGModel  # noqa: E402
 
@@ -116,7 +116,7 @@ def build_tpu_pipeline():
             lengths=batch.lengths, offsets=batch.offsets, targets=batch.targets,
             target_lengths=batch.target_lengths, n_examples=batch.n_examples,
         )
-        out, _ = greedy_decode(model, variables, b, MAX_FRAMES, MAX_STEPS)
+        out, _ = greedy_decode_cached(model, variables, b, MAX_FRAMES, MAX_STEPS)
         return out
 
     raw_bufs = np.zeros((N_UTTS, DSP_BUCKET, 8), np.float32)

@@ -66,7 +66,11 @@ class BeamSearcher:
             batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
             self.max_frames, train=False, method=self.model.encode,
         )
-        return memory[:1], src_mask[:1]
+        # project the memory K/V once; every hypothesis shares them
+        cross_kvs = self.model.apply(
+            self.variables, memory[:1], method=self.model.project_cross_kvs
+        )
+        return memory[:1], src_mask[:1], cross_kvs
 
     def _step_fn(self, H: int, S: int):
         key = (H, S)
@@ -75,11 +79,10 @@ class BeamSearcher:
         model = self.model
 
         @jax.jit
-        def step(variables, memory, mem_mask, tokens, s):
-            mem = jnp.broadcast_to(memory, (H,) + memory.shape[1:])
-            mmask = jnp.broadcast_to(mem_mask, (H,) + mem_mask.shape[1:])
+        def step(variables, cross_kvs, mem_mask, tokens, s):
             logits = model.apply(
-                variables, tokens, mem, mmask, False, method=model.decode
+                variables, tokens, None, mem_mask, False, cross_kvs,
+                method=model.decode,
             )
             last = jax.lax.dynamic_index_in_dim(logits, s - 1, axis=1, keepdims=False)
             return jax.nn.log_softmax(last[:, :-2], axis=-1)  # (H, 41)
@@ -95,7 +98,7 @@ class BeamSearcher:
         tokens = np.full((Hb, Sb), PAD_ID, np.int32)
         tokens[:H, :s] = histories
         out = self._step_fn(Hb, Sb)(
-            self.variables, self.memory, self.mem_mask, jnp.asarray(tokens), s
+            self.variables, self.cross_kvs, self.mem_mask, jnp.asarray(tokens), s
         )
         return np.asarray(out)[:H]
 
@@ -123,7 +126,7 @@ class BeamSearcher:
         tree = self.tree
         end_tok = tree.phone_count  # 40
 
-        self.memory, self.mem_mask = self._encode(batch)
+        self.memory, self.mem_mask, self.cross_kvs = self._encode(batch)
         max_len = int(target_len_tokens) + cfg.extra_steps
 
         histories = np.array([[START_ID]], np.int32)  # (H, s)

@@ -86,6 +86,64 @@ def greedy_decode(
     return out, tokens
 
 
+def greedy_decode_cached(
+    model,
+    variables,
+    batch: PackedBatch,
+    max_frames: int,
+    max_steps: int,
+    num_steps=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KV-cached greedy decode: identical outputs to ``greedy_decode`` at
+    O(S) decoder cost per step instead of O(S^2) — the serving-path upgrade
+    over the reference's full-prefix re-run (greedy_search.py:21, SURVEY.md
+    §3.2 'no KV cache')."""
+    S = max_steps + 1
+    if num_steps is None:
+        num_steps = max_steps
+    num_steps = jnp.asarray(num_steps, jnp.int32)
+
+    memory, _, src_pad_mask = model.apply(
+        variables,
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths, max_frames,
+        train=False,
+        method=model.encode,
+    )
+    B = memory.shape[0]
+    cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
+    caches = model.init_decode_cache(B, S)
+
+    tokens0 = jnp.full((B, S), PAD_ID, jnp.int32).at[:, 0].set(START_ID)
+    ended0 = jnp.zeros((B,), bool)
+
+    def cond(carry):
+        tokens, ended, s, caches = carry
+        return (s <= num_steps) & (s < S) & ~jnp.all(ended)
+
+    def body(carry):
+        tokens, ended, s, caches = carry
+        token_in = jax.lax.dynamic_index_in_dim(tokens, s - 1, axis=1, keepdims=False)
+        logits, caches = model.apply(
+            variables, token_in, s - 1, caches, cross_kvs, tokens, src_pad_mask,
+            method=model.decode_step,
+        )
+        predicted = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tokens = jnp.where(jnp.arange(S)[None, :] == s, predicted[:, None], tokens)
+        ended = ended | (predicted == END_ID)
+        return tokens, ended, s + 1, caches
+
+    tokens, ended, _, _ = jax.lax.while_loop(
+        cond, body, (tokens0, ended0, jnp.int32(1), caches)
+    )
+
+    is_end = tokens == END_ID
+    first_end = jnp.where(jnp.any(is_end, axis=1), jnp.argmax(is_end, axis=1), S)
+    pos = jnp.arange(S)[None, :]
+    keep = pos <= first_end[:, None]
+    out = jnp.where(keep, tokens, PAD_ID)
+    return out, tokens
+
+
 def matrix_to_phone_strings(matrix: np.ndarray) -> List[str]:
     """Rows of the accuracy matrix -> space-joined phone name strings."""
     out = []
@@ -96,11 +154,13 @@ def matrix_to_phone_strings(matrix: np.ndarray) -> List[str]:
 
 
 def run_greedy(model, variables, batch: PackedBatch, max_frames: int,
-               target_len: int, static_cap: Optional[int] = None) -> Tuple[List[str], np.ndarray]:
+               target_len: int, static_cap: Optional[int] = None,
+               use_cache: bool = True) -> Tuple[List[str], np.ndarray]:
     """Host wrapper mirroring the reference signature: returns
     (phone strings, accuracy matrix cut to target_len+1 columns).
     ``target_len`` is tgt.shape[1] (the padded target length minus <S>)."""
     cap = static_cap if static_cap is not None else target_len
-    out, _ = greedy_decode(model, variables, batch, max_frames, cap, num_steps=target_len)
+    fn = greedy_decode_cached if use_cache else greedy_decode
+    out, _ = fn(model, variables, batch, max_frames, cap, num_steps=target_len)
     out = np.asarray(out)[:, : target_len + 1]
     return matrix_to_phone_strings(out), out

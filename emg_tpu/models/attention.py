@@ -7,17 +7,21 @@ projection tensors, additive -1e8 masking, and — for encoder self-attention
 query products are mapped from relative to absolute indexing with the
 standard pad-reshape skew (the fairseq/Transformer-XL trick), expressed
 here as batched XLA reshapes. All shapes are batch-first (B, T, D).
+
+The module is setup-style so the incremental-decoding path (project one
+query token, attend over cached K/V) shares parameters with the full path.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-NEG_FILL = -1e8
+NEG_FILL = -1e8  # reference masked_fill value
+STRUCT_MASK = -jnp.inf  # structural (not-yet-generated) positions
 
 
 def relative_to_absolute(x: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +78,35 @@ class MultiHeadAttention(nn.Module):
     relative_positional: bool = False
     relative_positional_distance: int = 100
 
-    @nn.compact
+    def setup(self):
+        H = self.num_heads
+        Dh = self.d_model // H
+        assert Dh * H == self.d_model
+        self.head_dim = Dh
+        init = _xavier_normal_headed()
+        self.w_q = self.param("w_q", init, (H, self.d_model, Dh))
+        self.w_k = self.param("w_k", init, (H, self.d_model, Dh))
+        self.w_v = self.param("w_v", init, (H, self.d_model, Dh))
+        self.w_o = self.param("w_o", init, (H, Dh, self.d_model))
+        if self.relative_positional:
+            self.relpos = LearnedRelativePositionalBias(
+                self.relative_positional_distance, H, Dh, name="relative_positional"
+            )
+        self.drop = nn.Dropout(self.dropout)
+
+    # -- projections (shared by both paths) --------------------------------
+    def project_q(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum("btf,hfa->bhta", x, jnp.asarray(self.w_q).astype(x.dtype))
+
+    def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        k = jnp.einsum("btf,hfa->bhta", x, jnp.asarray(self.w_k).astype(x.dtype))
+        v = jnp.einsum("btf,hfa->bhta", x, jnp.asarray(self.w_v).astype(x.dtype))
+        return k, v
+
+    def output(self, o: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum("bhta,haf->btf", o, jnp.asarray(self.w_o).astype(o.dtype))
+
+    # -- full path ---------------------------------------------------------
     def __call__(
         self,
         query: jnp.ndarray,  # (B, Tq, D)
@@ -86,27 +118,12 @@ class MultiHeadAttention(nn.Module):
         causal: bool = False,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        H = self.num_heads
-        Dh = self.d_model // H
-        assert Dh * H == self.d_model
+        q = self.project_q(query)
+        k, v = self.project_kv(key)
+        if value is not key:  # not used by this architecture, kept for API
+            _, v = self.project_kv(value)
 
-        def proj_param(name):
-            return self.param(
-                name,
-                _xavier_normal_headed(),
-                (H, self.d_model, Dh),
-            )
-
-        w_q = proj_param("w_q")
-        w_k = proj_param("w_k")
-        w_v = proj_param("w_v")
-        w_o = self.param("w_o", _xavier_normal_headed_out(), (H, Dh, self.d_model))
-
-        q = jnp.einsum("btf,hfa->bhta", query, w_q.astype(query.dtype))
-        k = jnp.einsum("btf,hfa->bhta", key, w_k.astype(key.dtype))
-        v = jnp.einsum("btf,hfa->bhta", value, w_v.astype(value.dtype))
-
-        logits = jnp.einsum("bhqa,bhka->bhqk", q, k) / (Dh ** 0.5)
+        logits = jnp.einsum("bhqa,bhka->bhqk", q, k) / (self.head_dim ** 0.5)
 
         if causal:
             Tq, Tk = logits.shape[2], logits.shape[3]
@@ -118,14 +135,39 @@ class MultiHeadAttention(nn.Module):
             logits = jnp.where(query_padding_mask[:, None, :, None], NEG_FILL, logits)
 
         if self.relative_positional:
-            logits = logits + LearnedRelativePositionalBias(
-                self.relative_positional_distance, H, Dh, name="relative_positional"
-            )(q)
+            logits = logits + self.relpos(q)
 
         probs = jax.nn.softmax(logits, axis=-1)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        probs = self.drop(probs, deterministic=deterministic)
         o = jnp.einsum("bhqk,bhka->bhqa", probs, v)
-        return jnp.einsum("bhta,haf->btf", o, w_o.astype(o.dtype))
+        return self.output(o)
+
+    # -- incremental path --------------------------------------------------
+    def attend_step(
+        self,
+        q_tok: jnp.ndarray,  # (B, 1, D) current-token input
+        k_cache: jnp.ndarray,  # (B, H, S, Dh)
+        v_cache: jnp.ndarray,  # (B, H, S, Dh)
+        valid_mask: jnp.ndarray,  # (B, S) True where the key exists & may be
+        #                           attended (structural + pad combined by
+        #                           the caller into one of three states via
+        #                           logit values below)
+        pad_mask: jnp.ndarray,  # (B, S) True where key is a PAD token
+        query_is_pad: jnp.ndarray,  # (B,) current token is PAD
+    ) -> jnp.ndarray:
+        """One-token attention over cached keys/values. Masking reproduces
+        the reference's full-prefix semantics exactly: keys not yet
+        generated are structurally excluded (-inf -> probability 0), PAD
+        keys and PAD queries are set to -1e8 (softmax ties, as in the
+        reference's masked_fill)."""
+        q = self.project_q(q_tok)  # (B, H, 1, Dh)
+        logits = jnp.einsum("bhqa,bhka->bhqk", q, k_cache) / (self.head_dim ** 0.5)
+        logits = jnp.where(pad_mask[:, None, None, :], NEG_FILL, logits)
+        logits = jnp.where(query_is_pad[:, None, None, None], NEG_FILL, logits)
+        logits = jnp.where(valid_mask[:, None, None, :], logits, STRUCT_MASK)
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bhka->bhqa", probs, v_cache)
+        return self.output(o)
 
 
 def _xavier_normal_headed():
@@ -143,6 +185,3 @@ def _xavier_normal_headed():
         return jax.random.normal(key, shape, dtype) * std
 
     return init
-
-
-_xavier_normal_headed_out = _xavier_normal_headed

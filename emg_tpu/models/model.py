@@ -125,31 +125,77 @@ class EMGModel(nn.Module):
         return memory, self.w_aux(memory), src_pad_mask
 
     # -- decoder path ------------------------------------------------------
+    def _embed_targets(self, y: jnp.ndarray) -> jnp.ndarray:
+        table = jnp.asarray(self.embedding_tgt.embedding)
+        # torch padding_idx semantics: the PAD row is pinned to zero (it
+        # still reaches the loss through the exp-logit regularizer, so it
+        # must stay exactly zero rather than drift)
+        table = table.at[PAD_ID].set(0.0)
+        return table[y]
+
     def decode(
         self,
         y: jnp.ndarray,  # (B, S) int target ids (teacher-forced inputs)
         memory: jnp.ndarray,  # (B, T, D)
         memory_pad_mask: jnp.ndarray,  # (B, T)
         train: bool = False,
+        cross_kvs=None,  # optional per-layer memory K/V (beam fast path)
     ) -> jnp.ndarray:
         """Returns dec_logits (B, S, 43)."""
-        table = jnp.asarray(self.embedding_tgt.embedding)
-        # torch padding_idx semantics: the PAD row is pinned to zero (it
-        # still reaches the loss through the exp-logit regularizer, so it
-        # must stay exactly zero rather than drift)
-        table = table.at[PAD_ID].set(0.0)
-        tgt = table[y]
+        tgt = self._embed_targets(y)
         tgt = self.pos_decoder(tgt, deterministic=not train)
         tgt_pad_mask = y == PAD_ID
         compute_dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         out = self.transformerDecoder(
             tgt.astype(compute_dtype),
-            memory.astype(compute_dtype),
+            memory.astype(compute_dtype) if memory is not None else None,
             tgt_pad_mask,
             memory_pad_mask,
             deterministic=not train,
+            cross_kvs=cross_kvs,
         )
         return self.w_out(out.astype(jnp.float32))
+
+    def project_cross_kvs(self, memory: jnp.ndarray):
+        """Per-decoder-layer memory K/V, computed once per utterance."""
+        return self.transformerDecoder.project_cross_kvs(memory)
+
+    def init_decode_cache(self, batch_size: int, max_len: int):
+        """Zeroed self-attention K/V caches for incremental decoding."""
+        H = self.cfg.n_heads_decoder
+        Dh = self.cfg.model_size // H
+        return [
+            (
+                jnp.zeros((batch_size, H, max_len, Dh), jnp.float32),
+                jnp.zeros((batch_size, H, max_len, Dh), jnp.float32),
+            )
+            for _ in range(self.cfg.num_layers_decoder)
+        ]
+
+    def decode_step(
+        self,
+        token_ids: jnp.ndarray,  # (B,) current input token
+        step,  # () its position
+        caches,  # per-layer (self_k, self_v)
+        cross_kvs,  # per-layer (cross_k, cross_v)
+        tokens: jnp.ndarray,  # (B, S) all tokens so far (for PAD masking)
+        memory_pad_mask: jnp.ndarray,  # (B or 1, T)
+    ):
+        """One incremental decode step; returns (logits (B, 43), caches)."""
+        from emg_tpu.models.positional import sinusoid_table
+
+        x = self._embed_targets(token_ids)[:, None, :]  # (B, 1, D)
+        pe = jnp.asarray(sinusoid_table(5000, self.cfg.model_size))
+        x = x + (1.0 / self.cfg.model_size) * jax.lax.dynamic_index_in_dim(
+            pe, step, axis=0, keepdims=True
+        )[None]
+        tokens_pad_mask = tokens == PAD_ID
+        query_is_pad = token_ids == PAD_ID
+        out, caches = self.transformerDecoder.decode_step(
+            x, caches, cross_kvs, step, tokens_pad_mask, query_is_pad,
+            memory_pad_mask,
+        )
+        return self.w_out(out[:, 0]), caches
 
     def __call__(
         self,

@@ -4,16 +4,24 @@ Layer topology matches the reference TransformerEncoderLayer /
 TransformerDecoderLayer (transformer.py:11-134): residual -> dropout ->
 LayerNorm after each sublayer, relative-positional self-attention in the
 encoder only, sinusoidally-encoded decoder with causal + padding masks.
+
+Decoder layers additionally expose two TPU-serving paths that the reference
+(which re-runs the full prefix every autoregressive step) lacks:
+- ``__call__(..., cross_kv=...)``: full-prefix decode with the memory K/V
+  projected once per utterance and shared across all beam hypotheses.
+- ``decode_step``: single-token incremental decode over cached self K/V.
+Both produce bit-identical logits to the full path (tested).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from emg_tpu.models.attention import MultiHeadAttention
+from emg_tpu.models.attention import NEG_FILL, MultiHeadAttention
 
 
 class FeedForward(nn.Module):
@@ -68,7 +76,19 @@ class TransformerDecoderLayer(nn.Module):
     d_ff: int
     dropout: float
 
-    @nn.compact
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.num_heads, dropout=self.dropout, name="self_attn"
+        )
+        self.multihead_attn = MultiHeadAttention(
+            self.d_model, self.num_heads, dropout=self.dropout, name="multihead_attn"
+        )
+        self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, name="ff")
+        self.norm1 = nn.LayerNorm(name="norm1")
+        self.norm2 = nn.LayerNorm(name="norm2")
+        self.norm3 = nn.LayerNorm(name="norm3")
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(
         self,
         tgt,
@@ -76,35 +96,96 @@ class TransformerDecoderLayer(nn.Module):
         tgt_padding_mask: Optional[jnp.ndarray],
         memory_padding_mask: Optional[jnp.ndarray],
         deterministic: bool,
+        cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ):
-        sa = MultiHeadAttention(
-            self.d_model, self.num_heads, dropout=self.dropout, name="self_attn"
-        )(
+        sa = self.self_attn(
             tgt, tgt, tgt,
             key_padding_mask=tgt_padding_mask,
             query_padding_mask=tgt_padding_mask,
             causal=True,
             deterministic=deterministic,
         )
-        tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm1")(tgt)
+        tgt = tgt + self.drop(sa, deterministic=deterministic)
+        tgt = self.norm1(tgt)
 
-        ca = MultiHeadAttention(
-            self.d_model, self.num_heads, dropout=self.dropout, name="multihead_attn"
-        )(
-            tgt, memory, memory,
-            key_padding_mask=memory_padding_mask,
-            deterministic=deterministic,
-        )
-        tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm2")(tgt)
+        if cross_kv is None:
+            ca = self.multihead_attn(
+                tgt, memory, memory,
+                key_padding_mask=memory_padding_mask,
+                deterministic=deterministic,
+            )
+        else:
+            ca = self._cross_shared(tgt, cross_kv, memory_padding_mask)
+        tgt = tgt + self.drop(ca, deterministic=deterministic)
+        tgt = self.norm2(tgt)
 
-        ff = FeedForward(self.d_model, self.d_ff, self.dropout, name="ff")(
-            tgt, deterministic
-        )
-        tgt = tgt + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm3")(tgt)
+        ffo = self.ff(tgt, deterministic)
+        tgt = tgt + self.drop(ffo, deterministic=deterministic)
+        tgt = self.norm3(tgt)
         return tgt
+
+    def _cross_shared(self, tgt, cross_kv, memory_padding_mask):
+        """Cross-attention with memory K/V projected once (batch 1) and
+        shared across every row of ``tgt`` — the beam-search fast path."""
+        k1, v1 = cross_kv  # (1, H, T, Dh)
+        q = self.multihead_attn.project_q(tgt)  # (B, H, S, Dh)
+        logits = jnp.einsum("bhqa,hka->bhqk", q, k1[0]) / (
+            self.multihead_attn.head_dim ** 0.5
+        )
+        if memory_padding_mask is not None:
+            logits = jnp.where(
+                memory_padding_mask[:1][:, None, None, :], NEG_FILL, logits
+            )
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,hka->bhqa", probs, v1[0])
+        return self.multihead_attn.output(o)
+
+    def project_cross_kv(self, memory):
+        """Project memory into this layer's cross-attention K/V once."""
+        return self.multihead_attn.project_kv(memory)
+
+    def decode_step(
+        self,
+        x_tok: jnp.ndarray,  # (B, 1, D)
+        self_k: jnp.ndarray,  # (B, H, S, Dh) cache
+        self_v: jnp.ndarray,
+        cross_k: jnp.ndarray,  # (B or 1, H, T, Dh)
+        cross_v: jnp.ndarray,
+        step,  # () current position
+        tokens_pad_mask: jnp.ndarray,  # (B, S) generated-PAD keys
+        query_is_pad: jnp.ndarray,  # (B,)
+        memory_padding_mask: jnp.ndarray,  # (B or 1, T)
+    ):
+        B, _, D = x_tok.shape
+        S = self_k.shape[2]
+        k_new, v_new = self.self_attn.project_kv(x_tok)  # (B, H, 1, Dh)
+        self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_new, step, axis=2)
+        self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_new, step, axis=2)
+        valid = jnp.arange(S)[None, :] <= step  # causal over generated keys
+        sa = self.self_attn.attend_step(
+            x_tok, self_k, self_v, valid, tokens_pad_mask, query_is_pad
+        )
+        x = self.norm1(x_tok + sa)
+
+        # cross-attention (no query masking, matching the reference)
+        q = self.multihead_attn.project_q(x)
+        if cross_k.shape[0] == 1 and B > 1:
+            logits = jnp.einsum("bhqa,hka->bhqk", q, cross_k[0])
+        else:
+            logits = jnp.einsum("bhqa,bhka->bhqk", q, cross_k)
+        logits = logits / (self.multihead_attn.head_dim ** 0.5)
+        mpm = memory_padding_mask
+        logits = jnp.where(mpm[:, None, None, :], NEG_FILL, logits)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if cross_v.shape[0] == 1 and B > 1:
+            o = jnp.einsum("bhqk,hka->bhqa", probs, cross_v[0])
+        else:
+            o = jnp.einsum("bhqk,bhka->bhqa", probs, cross_v)
+        ca = self.multihead_attn.output(o)
+        x = self.norm2(x + ca)
+
+        x = self.norm3(x + self.ff(x, True))
+        return x, self_k, self_v
 
 
 class TransformerEncoder(nn.Module):
@@ -136,10 +217,33 @@ class TransformerDecoder(nn.Module):
     d_ff: int
     dropout: float
 
-    @nn.compact
-    def __call__(self, tgt, memory, tgt_padding_mask, memory_padding_mask, deterministic: bool):
-        for i in range(self.num_layers):
-            tgt = TransformerDecoderLayer(
+    def setup(self):
+        self.layers = [
+            TransformerDecoderLayer(
                 self.d_model, self.num_heads, self.d_ff, self.dropout, name=f"layer{i}"
-            )(tgt, memory, tgt_padding_mask, memory_padding_mask, deterministic)
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(self, tgt, memory, tgt_padding_mask, memory_padding_mask,
+                 deterministic: bool, cross_kvs=None):
+        for i, layer in enumerate(self.layers):
+            ckv = cross_kvs[i] if cross_kvs is not None else None
+            tgt = layer(tgt, memory, tgt_padding_mask, memory_padding_mask,
+                        deterministic, cross_kv=ckv)
         return tgt
+
+    def project_cross_kvs(self, memory):
+        return [layer.project_cross_kv(memory) for layer in self.layers]
+
+    def decode_step(self, x_tok, caches, cross_kvs, step, tokens_pad_mask,
+                    query_is_pad, memory_padding_mask):
+        """caches: list of (self_k, self_v) per layer. Returns (out, caches)."""
+        new_caches = []
+        for layer, (sk, sv), (ck, cv) in zip(self.layers, caches, cross_kvs):
+            x_tok, sk, sv = layer.decode_step(
+                x_tok, sk, sv, ck, cv, step, tokens_pad_mask, query_is_pad,
+                memory_padding_mask,
+            )
+            new_caches.append((sk, sv))
+        return x_tok, new_caches

@@ -75,3 +75,52 @@ def test_greedy_output_structure():
         ends = np.where(row == END_ID)[0]
         if len(ends):
             assert (row[ends[0] + 1 :] == PAD_ID).all()
+
+
+def test_cached_greedy_matches_full():
+    """KV-cached incremental decode must reproduce the full-prefix decode
+    bit-for-bit (same argmax chain, same output matrix)."""
+    from emg_tpu.decode.greedy import greedy_decode_cached
+
+    model = tiny_model()
+    batch = toy_batch(B=3, n_rows=2, chunk=64, S=10, seed=21)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(7)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    max_steps = batch.targets.shape[1] - 1
+    full_out, full_raw = greedy_decode(model, variables, batch, 16, max_steps)
+    cached_out, cached_raw = greedy_decode_cached(model, variables, batch, 16, max_steps)
+    np.testing.assert_array_equal(np.asarray(full_out), np.asarray(cached_out))
+    np.testing.assert_array_equal(np.asarray(full_raw), np.asarray(cached_raw))
+
+
+def test_shared_memory_decode_matches_plain():
+    """decode(..., cross_kvs) (the beam fast path) must match decode with
+    the memory broadcast per hypothesis."""
+    import jax.numpy as jnp
+
+    model = tiny_model()
+    batch = toy_batch(B=1, n_rows=2, chunk=64, S=8, seed=23)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(9)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    memory, _, src_mask = model.apply(
+        variables, batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        16, train=False, method=model.encode,
+    )
+    H = 5
+    tokens = np.full((H, 6), 42, np.int32)
+    tokens[:, 0] = 41
+    tokens[:, 1] = np.arange(H)
+    mem_b = jnp.broadcast_to(memory, (H,) + memory.shape[1:])
+    mask_b = jnp.broadcast_to(src_mask, (H,) + src_mask.shape[1:])
+    plain = model.apply(variables, jnp.asarray(tokens), mem_b, mask_b, False,
+                        method=model.decode)
+    cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
+    shared = model.apply(variables, jnp.asarray(tokens), None, src_mask, False,
+                         cross_kvs, method=model.decode)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(shared), rtol=1e-5, atol=1e-5)
