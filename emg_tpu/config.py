@@ -34,6 +34,9 @@ class ModelConfig:
     num_channels: int = 8
     # compute dtype for the transformer stack ("bfloat16" or "float32")
     compute_dtype: str = "float32"
+    # fuse encoder self-attention into the Pallas flash kernel on
+    # deterministic (serving) paths; training always uses the XLA path
+    use_flash_attention: bool = False
 
 
 @dataclass

@@ -77,6 +77,7 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.1
     relative_positional: bool = False
     relative_positional_distance: int = 100
+    use_flash: bool = False
 
     def setup(self):
         H = self.num_heads
@@ -122,6 +123,32 @@ class MultiHeadAttention(nn.Module):
         k, v = self.project_kv(key)
         if value is not key:  # not used by this architecture, kept for API
             _, v = self.project_kv(value)
+
+        if (
+            self.use_flash
+            and self.relative_positional
+            and deterministic
+            and not causal
+            and q.shape[2] % 256 == 0
+        ):
+            from emg_tpu.ops.pallas.flash_attention import (
+                flash_attention_bias,
+                flash_available,
+                masked_bias,
+            )
+
+            if flash_available():
+                bias = self.relpos(q)
+                bias = masked_bias(
+                    bias,
+                    key_padding_mask if key_padding_mask is not None
+                    else jnp.zeros(q.shape[:1] + (k.shape[2],), bool),
+                    query_padding_mask if query_padding_mask is not None
+                    else jnp.zeros(q.shape[:1] + (q.shape[2],), bool),
+                    self.num_heads,
+                )
+                o = flash_attention_bias(q, k, v, bias)
+                return self.output(o)
 
         logits = jnp.einsum("bhqa,bhka->bhqk", q, k) / (self.head_dim ** 0.5)
 

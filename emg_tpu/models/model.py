@@ -79,6 +79,7 @@ class EMGModel(nn.Module):
                 d_ff=c.feed_forward_layer_size,
                 dropout=c.dropout_model,
                 relative_positional_distance=c.relative_distance,
+                use_flash=c.use_flash_attention,
             )
         self.conv_blocks = ConvStack(c.model_size)
         self.w_raw_in = nn.Dense(c.model_size)

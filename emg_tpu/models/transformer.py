@@ -44,6 +44,7 @@ class TransformerEncoderLayer(nn.Module):
     d_ff: int
     dropout: float
     relative_positional_distance: int
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, src, src_padding_mask, deterministic: bool):
@@ -53,6 +54,7 @@ class TransformerEncoderLayer(nn.Module):
             dropout=self.dropout,
             relative_positional=True,
             relative_positional_distance=self.relative_positional_distance,
+            use_flash=self.use_flash,
             name="self_attn",
         )(
             src, src, src,
@@ -195,6 +197,7 @@ class TransformerEncoder(nn.Module):
     d_ff: int
     dropout: float
     relative_positional_distance: int
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, src, src_padding_mask, deterministic: bool):
@@ -205,6 +208,7 @@ class TransformerEncoder(nn.Module):
                 self.d_ff,
                 self.dropout,
                 self.relative_positional_distance,
+                self.use_flash,
                 name=f"layer{i}",
             )(src, src_padding_mask, deterministic)
         return src
