@@ -158,8 +158,17 @@ def train(cfg: Config):
 
 
 def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
+    argv = list(sys.argv[1:] if argv is None else argv)
+    recipe = None
+    if "--recipe" in argv:
+        i = argv.index("--recipe")
+        recipe = argv[i + 1]
+        del argv[i : i + 2]
     cfg = Config.from_args(argv)
+    if recipe:
+        from emg_tpu.train.recipes import apply_recipe
+
+        apply_recipe(cfg, recipe)
     if cfg.paths.evaluate_saved_beam_search:
         _setup_logging(cfg.paths.output_directory, "log_beam_search.txt")
         evaluate_saved_beam_search(cfg)

@@ -59,11 +59,6 @@ class DataConfig:
     # raw-EMG chunk length used for fixed-length packing before the CNN
     # (reference recognition_model.py:77 uses 200*8)
     packed_chunk: int = 1600
-    # augmentation recipes (named TensorBoard runs in the reference's
-    # logs_to_save/; re-implemented fresh — SURVEY.md §2.2 caveat)
-    electrode_rotation_prob: float = 0.0  # augmentation_with_electrode_rotation
-    channel_drop_prob: float = 0.0
-    time_drop_prob: float = 0.0
 
 
 @dataclass
@@ -82,10 +77,21 @@ class TrainConfig:
     alpha_loss: float = 0.2
     label_smoothing: float = 0.1  # reference LabelSmoothingLoss epsilon
     seed: int = 42
-    # scheduled-sampling recipe (Parallel_Schedule_Sampling run): probability
-    # of replacing teacher-forced decoder inputs with model predictions,
-    # linearly ramped from 0 to this value over training.
+    # training recipes re-implemented fresh from the reference's named
+    # TensorBoard runs (SURVEY.md §2.2 caveat: no source shipped for them)
+    # -- Parallel_Schedule_Sampling: probability of replacing teacher-forced
+    #    decoder inputs with first-pass model predictions, ramped linearly
+    #    from 0 to this value over scheduled_sampling_ramp microbatches
     scheduled_sampling_max_prob: float = 0.0
+    scheduled_sampling_ramp: int = 10000
+    # -- augmentation_with_electrode_rotation: circularly rotate the 8 EMG
+    #    channels by +-1 with this probability per microbatch
+    electrode_rotation_prob: float = 0.0
+    # -- channel/time dropout (the reference's dead DataLoader.py carried
+    #    equivalents at :400-442): zero a random channel / time span
+    channel_drop_prob: float = 0.0
+    time_drop_prob: float = 0.0
+    time_drop_max_samples: int = 160
     # number of dev batches inspected by the in-training evaluation loop
     eval_batches: int = 10
     # number of train batches inspected by report_PER

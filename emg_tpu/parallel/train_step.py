@@ -25,10 +25,11 @@ from emg_tpu.train.state import TrainState, warmup_lr
 
 
 def compute_losses(model, params, batch_stats, batch: PackedBatch, max_frames: int,
-                   rngs=None, train: bool = False):
+                   rngs=None, train: bool = False, tgt_in=None):
     """Returns ((loss, dec_loss, enc_loss), new_batch_stats)."""
     variables = {"params": params, "batch_stats": batch_stats}
-    tgt_in = batch.targets[:, :-1]
+    if tgt_in is None:
+        tgt_in = batch.targets[:, :-1]
     ce_target = batch.targets[:, 1:]
     B = batch.targets.shape[0]
     batch_mask = jnp.arange(B) < batch.n_examples
@@ -67,25 +68,89 @@ def compute_losses(model, params, batch_stats, batch: PackedBatch, max_frames: i
     return (dec_loss, enc_loss), new_bs
 
 
+def _augment_batch(batch: PackedBatch, cfg, rng) -> PackedBatch:
+    """Device-side raw-EMG augmentations (training recipes; see
+    emg_tpu.train.recipes): electrode rotation, channel drop, time drop."""
+    packed = batch.packed_raw
+    N, L, C = packed.shape
+    r_rot, r_dir, r_chan, r_time, r_pos, r_len = jax.random.split(rng, 6)
+
+    if cfg.electrode_rotation_prob > 0:
+        do = jax.random.bernoulli(r_rot, cfg.electrode_rotation_prob)
+        shift = jnp.where(jax.random.bernoulli(r_dir, 0.5), 1, -1)
+        packed = jnp.where(do, jnp.roll(packed, shift, axis=2), packed)
+    if cfg.channel_drop_prob > 0:
+        keep = ~jax.random.bernoulli(r_chan, cfg.channel_drop_prob, (C,))
+        packed = packed * keep[None, None, :].astype(packed.dtype)
+    if cfg.time_drop_prob > 0:
+        do = jax.random.bernoulli(r_time, cfg.time_drop_prob)
+        total = N * L
+        start = jax.random.randint(r_pos, (), 0, total)
+        length = jax.random.randint(r_len, (), 1, cfg.time_drop_max_samples + 1)
+        pos = jnp.arange(total)
+        drop = (pos >= start) & (pos < start + length) & do
+        packed = jnp.where(drop.reshape(N, L)[:, :, None], 0.0, packed)
+    if packed is not batch.packed_raw:
+        batch = PackedBatch(
+            packed_raw=packed, n_rows=batch.n_rows, lengths=batch.lengths,
+            offsets=batch.offsets, targets=batch.targets,
+            target_lengths=batch.target_lengths, n_examples=batch.n_examples,
+        )
+    return batch
+
+
 def make_train_step(model, cfg, max_frames: int):
     """Build the jitted microbatch step: grad, accumulate, maybe apply."""
 
     alpha = cfg.alpha_loss
+    use_ss = cfg.scheduled_sampling_max_prob > 0
+    use_aug = (
+        cfg.electrode_rotation_prob > 0
+        or cfg.channel_drop_prob > 0
+        or cfg.time_drop_prob > 0
+    )
 
-    def loss_fn(params, batch_stats, batch, dropout_rng, shift_rng):
+    def loss_fn(params, batch_stats, batch, dropout_rng, shift_rng, ss_rng, ss_prob):
+        tgt_in = None
+        if use_ss:
+            # parallel scheduled sampling: a first, gradient-free pass
+            # produces token predictions; decoder inputs are replaced by
+            # them with probability ss_prob (never the leading <S>)
+            first_tgt = batch.targets[:, :-1]
+            _, first_dec_logits = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+                first_tgt, max_frames, False,
+            )
+            preds = jnp.argmax(jax.lax.stop_gradient(first_dec_logits), axis=-1)
+            # prediction for input position j is the model's output at j-1
+            pred_inputs = jnp.concatenate([first_tgt[:, :1], preds[:, :-1]], axis=1)
+            S1 = first_tgt.shape[1]
+            mix = jax.random.bernoulli(ss_rng, ss_prob, (first_tgt.shape[0], S1))
+            mix = mix & (jnp.arange(S1)[None, :] >= 1)
+            tgt_in = jnp.where(mix, pred_inputs, first_tgt)
+
         (dec_loss, enc_loss), new_bs = compute_losses(
             model, params, batch_stats, batch, max_frames,
             rngs={"dropout": dropout_rng, "shift": shift_rng}, train=True,
+            tgt_in=tgt_in,
         )
         loss = combined_loss(dec_loss, enc_loss, alpha)
         return loss, (dec_loss, enc_loss, new_bs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: PackedBatch, rng) -> Tuple[TrainState, dict]:
-        dropout_rng, shift_rng = jax.random.split(jax.random.fold_in(rng, state.microbatches))
+        step_rng = jax.random.fold_in(rng, state.microbatches)
+        dropout_rng, shift_rng, aug_rng, ss_rng = jax.random.split(step_rng, 4)
+        if use_aug:
+            batch = _augment_batch(batch, cfg, aug_rng)
+        ss_prob = cfg.scheduled_sampling_max_prob * jnp.minimum(
+            1.0, state.microbatches.astype(jnp.float32) / max(cfg.scheduled_sampling_ramp, 1)
+        )
         (loss, (dec_loss, enc_loss, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, dropout_rng, shift_rng)
+        )(state.params, state.batch_stats, batch, dropout_rng, shift_rng,
+          ss_rng, ss_prob)
         accum = jax.tree.map(jnp.add, state.accum_grads, grads)
         n_accum = state.accum_examples + batch.n_examples
         lr = warmup_lr(state.cfg, state.microbatches)

@@ -1,0 +1,81 @@
+"""Recipe presets + augmentation/scheduled-sampling training paths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from emg_tpu.config import Config, TrainConfig
+from emg_tpu.parallel.train_step import _augment_batch, make_train_step
+from emg_tpu.train.recipes import RECIPES, apply_recipe
+from emg_tpu.train.state import create_train_state
+
+from tests.test_train_step import tiny_model, toy_batch
+
+
+def test_recipe_presets():
+    cfg = apply_recipe(Config(), "conformer_model")
+    assert cfg.model.encoder_kind == "conformer"
+    cfg = apply_recipe(Config(), "Parallel_Schedule_Sampling")
+    assert cfg.train.scheduled_sampling_max_prob > 0
+    cfg = apply_recipe(Config(), "augmentation_with_electrode_rotation")
+    assert cfg.train.electrode_rotation_prob > 0
+    with pytest.raises(KeyError):
+        apply_recipe(Config(), "nope")
+    assert "best_model" in RECIPES
+
+
+def test_electrode_rotation_rolls_channels():
+    cfg = TrainConfig(electrode_rotation_prob=1.0)
+    batch = toy_batch(B=2, n_rows=2, chunk=64, S=8)
+    out = _augment_batch(batch, cfg, jax.random.PRNGKey(0))
+    orig = batch.packed_raw
+    rolled = np.asarray(out.packed_raw)
+    ok = np.allclose(rolled, np.roll(orig, 1, axis=2)) or np.allclose(
+        rolled, np.roll(orig, -1, axis=2)
+    )
+    assert ok
+
+
+def test_channel_drop_zeroes_channels():
+    cfg = TrainConfig(channel_drop_prob=0.999)
+    batch = toy_batch(B=2, n_rows=2, chunk=64, S=8)
+    out = _augment_batch(batch, cfg, jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(out.packed_raw)).max() < np.abs(batch.packed_raw).max() + 1e-6
+    # with p ~ 1 essentially all channels are zeroed
+    assert (np.abs(np.asarray(out.packed_raw)).sum(axis=(0, 1)) == 0).sum() >= 6
+
+
+def test_time_drop_zeroes_span():
+    cfg = TrainConfig(time_drop_prob=1.0, time_drop_max_samples=40)
+    batch = toy_batch(B=2, n_rows=2, chunk=64, S=8)
+    # make every sample nonzero so zeros must come from the drop
+    batch.packed_raw[:] = 1.0
+    out = _augment_batch(batch, cfg, jax.random.PRNGKey(3))
+    flat = np.asarray(out.packed_raw).reshape(-1, 8)
+    zero_rows = np.where((flat == 0).all(axis=1))[0]
+    assert 1 <= len(zero_rows) <= 40
+    assert (np.diff(zero_rows) == 1).all()  # contiguous span
+
+
+def test_scheduled_sampling_step_descends():
+    model = tiny_model()
+    batch = toy_batch()
+    cfg = TrainConfig(
+        batch_size_grad=2, learning_rate=1e-3, learning_rate_warmup=5,
+        scheduled_sampling_max_prob=0.5, scheduled_sampling_ramp=10,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    state = create_train_state(variables["params"], variables["batch_stats"], cfg)
+    step = make_train_step(model, cfg, max_frames=16)
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch, jax.random.PRNGKey(5))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
