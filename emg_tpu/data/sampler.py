@@ -136,3 +136,43 @@ class DynamicBatchSampler:
 
     def __len__(self):
         return len(self._batches)
+
+
+class SizeAwareSampler:
+    """Legacy greedy length-capped batcher (reference read_emg.py:117-142,
+    unused by the live training path but kept for capability parity):
+    shuffle, then pack examples into batches whose summed raw-EMG length
+    stays under ``max_len``; the trailing incomplete batch is dropped."""
+
+    def __init__(self, emg_dataset, max_len: int, seed: int = None):
+        self.dataset = emg_dataset
+        self.max_len = max_len
+        self._seed = seed
+        self._lengths = []
+        self._texts = []
+        for directory_info, file_idx in emg_dataset.example_indices:
+            with open(os.path.join(directory_info.directory, f"{file_idx}_info.json")) as f:
+                info = json.load(f)
+            self._lengths.append(sum(c[0] for c in info["chunks"]))
+            self._texts.append(info["text"])
+
+    def __iter__(self):
+        import logging as _logging
+
+        rng = np.random.default_rng(self._seed)
+        indices = rng.permutation(len(self.dataset)).tolist()
+        batch, batch_length = [], 0
+        for idx in indices:
+            if not any(c in string.ascii_letters for c in self._texts[idx]):
+                continue
+            length = self._lengths[idx]
+            if length > self.max_len:
+                _logging.getLogger(__name__).warning(
+                    "example %d cannot fit within desired batch length", idx
+                )
+            if length + batch_length > self.max_len:
+                yield batch
+                batch, batch_length = [], 0
+            batch.append(idx)
+            batch_length += length
+        # trailing incomplete batch dropped (reference behavior)
