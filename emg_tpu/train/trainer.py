@@ -14,6 +14,8 @@ compiles a handful of programs.
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -82,6 +84,34 @@ class Trainer:
                 self.model, self.config.train, max_frames
             )
         return self._train_steps[max_frames]
+
+    def _prefetch(self, dataset: EMGDataset, batches: List[List[int]], depth: int = 2):
+        """Host-side batch assembly on a background thread, ``depth`` batches
+        ahead of the device (the reference runs its whole DSP front-end on
+        the training thread — SURVEY.md §3.1 'num_workers=0')."""
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for idxs in batches:
+                    pb, max_frames, _ = self._prepare(dataset, idxs)
+                    q.put((pb, max_frames))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(("error", e))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "error":
+                raise item[1]
+            yield item
+        t.join()
 
     def _eval_step_for(self, max_frames: int):
         if max_frames not in self._eval_steps:
@@ -200,8 +230,9 @@ class Trainer:
         for epoch_idx in range(cfg.n_epochs):
             losses: List[float] = []
             epoch_start = time.time()
-            for step, idxs in enumerate(train_sampler):
-                pb, max_frames, _ = self._prepare(self.trainset, idxs)
+            for step, (pb, max_frames) in enumerate(
+                self._prefetch(self.trainset, list(train_sampler))
+            ):
                 state, metrics = self._train_step_for(max_frames)(
                     state, pb, self.rng
                 )
