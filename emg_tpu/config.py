@@ -37,6 +37,9 @@ class ModelConfig:
     # fuse encoder self-attention into the Pallas flash kernel on
     # deterministic (serving) paths; training always uses the XLA path
     use_flash_attention: bool = False
+    # rematerialize encoder layers on backward (jax.checkpoint): trades
+    # recompute FLOPs for activation memory on large batches
+    remat: bool = False
 
 
 @dataclass

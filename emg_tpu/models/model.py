@@ -80,6 +80,7 @@ class EMGModel(nn.Module):
                 dropout=c.dropout_model,
                 relative_positional_distance=c.relative_distance,
                 use_flash=c.use_flash_attention,
+                remat=c.remat,
             )
         self.conv_blocks = ConvStack(c.model_size)
         self.w_raw_in = nn.Dense(c.model_size)

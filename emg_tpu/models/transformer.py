@@ -198,11 +198,17 @@ class TransformerEncoder(nn.Module):
     dropout: float
     relative_positional_distance: int
     use_flash: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src, src_padding_mask, deterministic: bool):
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            # rematerialize each layer on the backward pass: trades FLOPs
+            # for activation memory (jax.checkpoint under the hood)
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(2,))
         for i in range(self.num_layers):
-            src = TransformerEncoderLayer(
+            src = layer_cls(
                 self.d_model,
                 self.num_heads,
                 self.d_ff,

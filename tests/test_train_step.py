@@ -181,3 +181,29 @@ def test_bfloat16_compute_dtype():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_remat_encoder_trains():
+    from emg_tpu.config import ModelConfig
+    from emg_tpu.models import EMGModel
+
+    model = EMGModel(
+        ModelConfig(
+            model_size=16, feed_forward_layer_size=32, num_layers_encoder=2,
+            num_layers_decoder=1, n_heads_encoder=2, n_heads_decoder=2,
+            relative_distance=8, dropout_model=0.0, dropout_pos_emb=0.0,
+            remat=True,
+        )
+    )
+    batch = toy_batch()
+    cfg = TrainConfig(batch_size_grad=2, learning_rate=1e-3, learning_rate_warmup=5)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    state = create_train_state(variables["params"], variables["batch_stats"], cfg)
+    step = make_train_step(model, cfg, max_frames=16)
+    s1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    s2, m2 = step(s1, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss"]))
