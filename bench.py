@@ -20,6 +20,10 @@ import jax.numpy as jnp
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from emg_tpu.runtime import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
+
 from emg_tpu.config import ModelConfig  # noqa: E402
 from emg_tpu.data.batching import PackedBatch  # noqa: E402
 from emg_tpu.decode.greedy import greedy_decode_cached  # noqa: E402

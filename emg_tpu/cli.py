@@ -158,6 +158,9 @@ def train(cfg: Config):
 
 
 def main(argv=None):
+    from emg_tpu.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     recipe = None
     if "--recipe" in argv:
