@@ -157,11 +157,29 @@ def train(cfg: Config):
     return trainer.train()
 
 
+def _print_help():
+    import dataclasses
+
+    print(__doc__)
+    print("Flags (bare names accepted when unambiguous, or --section.key):\n")
+    cfg = Config()
+    for f in dataclasses.fields(cfg):
+        section = getattr(cfg, f.name)
+        for sf in dataclasses.fields(section):
+            print(f"  --{f.name}.{sf.name}  (default: {getattr(section, sf.name)!r})")
+    from emg_tpu.train.recipes import RECIPES
+
+    print(f"\n  --recipe {{{','.join(sorted(RECIPES))}}}")
+
+
 def main(argv=None):
     from emg_tpu.runtime import setup_compilation_cache
 
     setup_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in argv or "-h" in argv:
+        _print_help()
+        return
     recipe = None
     if "--recipe" in argv:
         i = argv.index("--recipe")
