@@ -154,7 +154,12 @@ def train(cfg: Config):
     log.info("train / dev split: %d %d", len(trainset), len(devset))
     writer = MetricsWriter(default_log_dir())
     trainer = Trainer(cfg, trainset, devset, writer)
-    return trainer.train()
+    state = None
+    if cfg.paths.resume and trainer.ckpt.exists("latest"):
+        state, extra = trainer.ckpt.restore(trainer.init_state(), "latest")
+        log.info("resumed from %s (epoch %s, %d microbatches)",
+                 cfg.paths.output_directory, extra.get("epoch"), int(state.microbatches))
+    return trainer.train(state)
 
 
 def _print_help():

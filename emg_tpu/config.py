@@ -133,6 +133,9 @@ class PathsConfig:
     evaluate_saved_beam_search: Optional[str] = None
     evaluate_saved_greedy_search: Optional[str] = None
     start_training_from: Optional[str] = None
+    # resume the full train state (params, optimizer, counters) from
+    # <output_directory>/latest — capability the reference lacks
+    resume: bool = False
     output_directory: str = "output"
     phonesSet: str = "descriptions/phonesSet"
     vocabulary: str = "descriptions/new_vocabulary"
