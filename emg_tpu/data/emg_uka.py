@@ -11,10 +11,9 @@ quantile-filtered length sampler.
 
 from __future__ import annotations
 
-import os
 import sqlite3
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -20,7 +20,6 @@ through the native ARPA scorer. Scoring semantics preserved exactly:
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import Dict, List, Tuple
 

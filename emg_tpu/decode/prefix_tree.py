@@ -19,7 +19,7 @@ whose word list is non-empty (check_words, BeamSearch.py:215-266).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

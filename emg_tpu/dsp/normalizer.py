@@ -8,9 +8,8 @@ that exact pickle format without the reference module being importable.
 
 from __future__ import annotations
 
-import io
 import pickle
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

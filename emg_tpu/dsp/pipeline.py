@@ -23,7 +23,7 @@ from emg_tpu.dsp.features import (
     get_emg_features,
     get_emg_features_masked,
 )
-from emg_tpu.dsp.resample import subsample, subsample_masked
+from emg_tpu.dsp.resample import subsample_masked
 
 RAW_RATE = 689.06
 FEAT_RATE = 516.79

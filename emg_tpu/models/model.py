@@ -12,7 +12,7 @@ cross-attention -> CE head. Train-time random time-shift augmentation
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,6 @@ must not contaminate the statistics).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ recognition_model.py:98).
 
 from __future__ import annotations
 
-import re
 import string
 import unicodedata
 from typing import Iterable, List, Sequence

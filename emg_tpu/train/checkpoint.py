@@ -16,7 +16,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from emg_tpu.train.state import TrainState, create_train_state
+from emg_tpu.train.state import TrainState
 
 
 def _state_tree(state: TrainState) -> dict:

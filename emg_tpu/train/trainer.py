@@ -30,7 +30,7 @@ from emg_tpu.data.batching import (
 )
 from emg_tpu.data.dataset import EMGDataset
 from emg_tpu.data.sampler import DynamicBatchSampler
-from emg_tpu.decode.greedy import matrix_to_phone_strings, run_greedy
+from emg_tpu.decode.greedy import run_greedy
 from emg_tpu.models import EMGModel
 from emg_tpu.parallel.train_step import make_eval_step, make_train_step
 from emg_tpu.text.metrics import wer
