@@ -171,3 +171,37 @@ def test_beam_search_unconstrained_flag(arpa_path):
     searcher = BeamSearcher(model, variables, tree, lm, cfg, max_frames=16)
     history, score, names = searcher.search(batch, 5)
     assert history[0] == START_ID
+
+
+def test_lm_trainer_produces_valid_arpa(tmp_path):
+    """Witten-Bell trainer output loads in both scorers and behaves like a
+    probability model (sums to ~1, known > unknown)."""
+    import math
+
+    from emg_tpu.decode.lm_train import train_arpa, write_arpa
+
+    sents = ["the cat sat", "the dog ran", "the cat ran home", "a dog sat"] * 3
+    models = train_arpa(sents, order=3)
+    p = tmp_path / "wb.arpa"
+    write_arpa(models, str(p))
+    lm = ArpaLanguageModel(str(p))
+    assert lm.order == 3
+    # conditional distribution sums to <= 1 over seen continuations
+    mass = sum(
+        10 ** lm.ngrams[2][g][0] for g in lm.ngrams[2] if g[0] == "the"
+    )
+    assert mass < 1.0 + 1e-6
+    # frequent sentence scores above a shuffled one
+    good = lm.score("the cat sat", bos=True, eos=True)
+    bad = lm.score("sat the cat", bos=True, eos=True)
+    assert good > bad
+    # unknown words hit <unk>, still finite
+    assert math.isfinite(lm.score("zzz qqq", bos=True, eos=True))
+    # native scorer agrees
+    try:
+        from emg_tpu.decode.lm_binding import NativeArpaLanguageModel
+
+        native = NativeArpaLanguageModel(str(p))
+        assert native.score("the cat sat", True, True) == pytest.approx(good, abs=1e-4)
+    except Exception:
+        pass
