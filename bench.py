@@ -93,16 +93,19 @@ def build_tpu_pipeline():
 
     @jax.jit
     def featurize_all(raw_bufs, raw_ns):
-        """(U, T, 8) raw EMG -> per-utterance raw-path signals."""
+        """(U, T, 8) raw EMG -> per-utterance raw-path signals.
 
-        def one(buf, n):
-            out = preprocess_emg(buf, n, 0, 0, ())
-            raw = out.emg_orig
-            raw = raw / 20.0
-            raw = 50.0 * jnp.tanh(raw / 50.0)
-            return raw, out.n_frames
-
-        return jax.vmap(one)(raw_bufs, raw_ns)
+        The filters are channel-independent, so equal-length utterances
+        fold into one (T, U*8) call — one kernel launch instead of a
+        vmap over the sequential-carry Pallas scan."""
+        U, T, C = raw_bufs.shape
+        folded = jnp.transpose(raw_bufs, (1, 0, 2)).reshape(T, U * C)
+        out = preprocess_emg(folded, raw_ns[0], 0, 0, ())
+        raw = jnp.transpose(
+            out.emg_orig.reshape(-1, U, C), (1, 0, 2)
+        )  # (U, T_raw, C)
+        raw = 50.0 * jnp.tanh(raw / 20.0 / 50.0)
+        return raw, jnp.broadcast_to(out.n_frames, (U,))
 
     n_per = int(lengths[0]) * 8  # all synthetic utterances share one length
     total_flat = rows_b * 1600

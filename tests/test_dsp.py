@@ -38,7 +38,7 @@ RNG = np.random.default_rng(0)
 
 def test_lfilter_matches_scipy():
     b, a = design_notch(60.0, 30.0, 1000.0)
-    x = RNG.normal(size=500).astype(np.float32)
+    x = np.random.default_rng(9).normal(size=500).astype(np.float32)
     ours = np.asarray(lfilter(b, a, jnp.asarray(x)))
     ref = scipy.signal.lfilter(b, a, x.astype(np.float64))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
@@ -46,7 +46,7 @@ def test_lfilter_matches_scipy():
 
 def test_lfilter_with_zi_matches_scipy():
     b, a = design_highpass(3, 2.0, 1000.0)
-    x = RNG.normal(size=300)
+    x = np.random.default_rng(8).normal(size=300)
     zi = scipy.signal.lfilter_zi(b, a) * x[0]
     ours = np.asarray(lfilter(b, a, jnp.asarray(x, jnp.float32), zi=zi))
     ref, _ = scipy.signal.lfilter(b, a, x, zi=zi)
@@ -61,7 +61,9 @@ def test_filtfilt_matches_scipy(design):
         b, a = design_notch(120.0, 30.0, 1000.0)
     else:
         b, a = design_highpass(3, 2.0, 1000.0)
-    x = RNG.normal(size=(700, 3))
+    # local generator: the shared module RNG makes this tolerance-sensitive
+    # test's data depend on which tests ran before it
+    x = np.random.default_rng(42).normal(size=(700, 3))
     ours = np.asarray(filtfilt(b, a, jnp.asarray(x, jnp.float32)))
     ref = scipy.signal.filtfilt(b, a, x, axis=0)
     np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=2e-3)
@@ -79,7 +81,7 @@ def test_filtfilt_masked_matches_exact(n):
 
 
 def test_notch_harmonics_chain_matches_scipy():
-    x = RNG.normal(size=(900, 2))
+    x = np.random.default_rng(7).normal(size=(900, 2))
     y = x.copy().astype(np.float64)
     for h in range(1, 8):
         b, a = scipy.signal.iirnotch(60.0 * h, 30, 1000.0)
