@@ -126,7 +126,10 @@ def _lfilter_core(flt: _DeviceFilter, x, z_init):
         # doubling scan on v5e). Rows are (channel, state) pairs, lanes are
         # time; the tail is zero-padded to the block size (the scan is
         # causal, so the padding never affects real outputs).
-        bt = 512
+        from emg_tpu.ops.pallas.iir_scan import pick_block
+
+        Tp0 = ((T + 511) // 512) * 512
+        bt = pick_block(C * m, Tp0)
         Tp = ((T + bt - 1) // bt) * bt
         ur2 = jnp.pad(ur.reshape(C * m, T), ((0, 0), (0, Tp - T)))
         ui2 = jnp.pad(ui.reshape(C * m, T), ((0, 0), (0, Tp - T)))

@@ -72,6 +72,17 @@ def _kernel(lamr_ref, lami_ref, w0r_ref, w0i_ref, ur_ref, ui_ref,
     carry_i[:] = wi[:, bt - 1 :]
 
 
+def pick_block(R: int, T: int, bt: int = 512) -> int:
+    """Largest power-of-two block that keeps the kernel's ~12 live (R, bt)
+    float32 arrays plus double-buffered IO inside the 16 MB VMEM budget."""
+    budget_floats = 3_200_000  # ~12.8 MB of f32, margin under the 16 MB cap
+    while bt > 64 and 24 * R * bt > budget_floats:
+        bt //= 2
+    while T % bt:
+        bt //= 2
+    return max(bt, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("bt", "interpret"))
 def iir_scan(lam_r, lam_i, u_r, u_i, w0_r, w0_i, bt: int = 512,
              interpret: bool = False):
