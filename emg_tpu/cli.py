@@ -123,12 +123,37 @@ def evaluate_saved_beam_search(cfg: Config):
     lm = load_language_model(cfg.paths.lang_model)
     tt = TextTransform()
 
+    device_searchers = {}
+    if cfg.decode.device_beam:
+        from emg_tpu.decode.device_beam import DeviceBeamSearcher
+        from emg_tpu.decode.device_lm import build_device_lm
+        from emg_tpu.decode.ngram import ArpaLanguageModel
+
+        py_lm = (lm if isinstance(lm, ArpaLanguageModel)
+                 else ArpaLanguageModel(cfg.paths.lang_model))
+        lex_words = [
+            compiled.dictionary.lookup_word_by_index(i).name
+            for i in range(compiled.dictionary.word_count())
+        ]
+        dlm = build_device_lm(py_lm, lex_words)
+
     references, predictions = [], []
     for i in range(len(testset)):
         pb, max_frames, raw = _prepare_single(cfg, testset, i)
-        searcher = BeamSearcher(model, variables, compiled, lm, cfg.decode, max_frames)
         target = raw["phonemes_int"][0][1:]
         target_len = int((target != 40).sum())
+        if cfg.decode.device_beam:
+            # one compiled searcher per (frames, step-cap) bucket
+            step_cap = 16 * ((target_len + cfg.decode.extra_steps + 15) // 16)
+            key = (max_frames, step_cap)
+            if key not in device_searchers:
+                device_searchers[key] = DeviceBeamSearcher(
+                    model, variables, compiled, dlm, cfg.decode, max_frames,
+                    max_steps=step_cap,
+                )
+            searcher = device_searchers[key]
+        else:
+            searcher = BeamSearcher(model, variables, compiled, lm, cfg.decode, max_frames)
         _, _, words = searcher.search(pb, target_len)
         pred_text = tt.clean_text(" ".join(words))
         target_text = tt.clean_text(raw["text"][0])

@@ -115,6 +115,10 @@ class DecodeConfig:
     max_hypos: int = 512
     # maximum decode length in excess of the target length (reference uses +10)
     extra_steps: int = 10
+    # run beam search as one device program (decode/device_beam.py: prefix
+    # tree + hash-table n-gram LM on device); the host searcher remains the
+    # float64 reference implementation
+    device_beam: bool = False
 
 
 @dataclass

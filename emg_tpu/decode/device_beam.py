@@ -1,0 +1,252 @@
+"""Lexicon-constrained beam search as ONE device program.
+
+The host BeamSearcher (decode/beam.py) reproduces the reference's scoring
+exactly but launches the decoder once per step, which on launch-latency-
+bound deployments dominates the decode time. This variant moves the entire
+search — decoder steps, prefix-tree masking/stepping, word-boundary LM
+expansion with the device hash-table LM, length penalties, and the
+finished-hypothesis buffer — into a single jax.lax.while_loop, so one
+launch decodes an utterance.
+
+Scoring semantics follow the host implementation (same reference scheme);
+the one structural difference is float32 score arithmetic (the host
+accumulates in float64), which can reorder near-tied hypotheses.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from emg_tpu.config import DecodeConfig
+from emg_tpu.data.batching import PackedBatch
+from emg_tpu.decode.device_lm import DeviceLM
+from emg_tpu.decode.prefix_tree import CompiledTree
+from emg_tpu.text.phonemes import START_ID
+
+NEG = -jnp.inf
+
+
+class DeviceBeamSearcher:
+    def __init__(self, model, variables, tree: CompiledTree, device_lm: DeviceLM,
+                 cfg: DecodeConfig, max_frames: int, max_steps: int = 64,
+                 max_words: int = 24, finished_size: int = 64):
+        assert cfg.Constrained, "the device beam requires lexicon constraints"
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.max_frames = max_frames
+        self.S = max_steps + 1
+        self.MW = max_words
+        self.F = finished_size
+
+        # dense tree tables on device; word slots per node fixed to K
+        self.K = max((len(w) for w in tree.node_words), default=1)
+        n_nodes = tree.child_table.shape[0]
+        node_words = np.full((n_nodes, self.K), -1, np.int32)
+        for i, ws in enumerate(tree.node_words):
+            node_words[i, : len(ws)] = ws
+        self.child_table = jnp.asarray(tree.child_table)
+        self.mask_table = jnp.asarray(tree.mask_table)
+        self.node_words = jnp.asarray(node_words)
+        self.root = tree.root
+        self.phone_count = tree.phone_count  # 40; end token id == 40
+        self.lm = device_lm
+        self.tree = tree
+
+        W = cfg.BeamWidth
+        self.W = W
+        self.H = W * (1 + self.K)
+        self._search_fn = None
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        model, cfg, lm = self.model, self.cfg, self.lm
+        S, W, K, H, F, MW = self.S, self.W, self.K, self.H, self.F, self.MW
+        end_tok = self.phone_count
+        wt = cfg.LMWeight
+
+        def search(variables, batch: PackedBatch, max_len):
+            memory, _, src_mask = model.apply(
+                variables,
+                batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+                self.max_frames, train=False, method=model.encode,
+            )
+            memory = memory[:1]
+            src_mask = src_mask[:1]
+            cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
+
+            def decode_lp(tokens, t):
+                logits = model.apply(
+                    variables, tokens, None, src_mask, False, cross_kvs,
+                    method=model.decode,
+                )
+                last = jax.lax.dynamic_index_in_dim(logits, t, axis=1, keepdims=False)
+                return jax.nn.log_softmax(last[:, :-2], axis=-1)  # (H, 41)
+
+            # hypothesis state
+            hist0 = jnp.full((H, S), 42, jnp.int32).at[:, 0].set(START_ID)
+            cum0 = jnp.zeros((H,), jnp.float32)
+            node0 = jnp.full((H,), self.root, jnp.int32)
+            alive0 = jnp.zeros((H,), bool).at[0].set(True)
+            ctx0 = jnp.stack(
+                [jnp.full((H,), -1, jnp.int32),
+                 jnp.full((H,), lm.bos_id, jnp.int32)], axis=1)
+            runlm0 = jnp.zeros((H,), jnp.float32)
+            chars0 = jnp.zeros((H,), jnp.int32)
+            wc0 = jnp.zeros((H,), jnp.int32)
+            words0 = jnp.full((H, MW), -1, jnp.int32)
+
+            fin_scores0 = jnp.full((F,), NEG, jnp.float32)
+            fin_hist0 = jnp.full((F, S), 42, jnp.int32)
+            fin_words0 = jnp.full((F, MW), -1, jnp.int32)
+            fin_wc0 = jnp.zeros((F,), jnp.int32)
+
+            def cond(carry):
+                t = carry[0]
+                alive = carry[4]
+                return (t < max_len) & (t < S - 1) & jnp.any(alive)
+
+            # expansion rows carry the same token history as their parent
+            # (row i's parent is i mod W), so only the first W rows need a
+            # decoder pass — a (1+K)x saving on the per-step transformer cost
+            parent = jnp.arange(H) % W
+
+            def body(carry):
+                (t, hist, cum, node, alive, ctx, runlm, chars, wc, words,
+                 fin_scores, fin_hist, fin_words, fin_wc) = carry
+
+                step_lp_w = decode_lp(hist[:W], t)  # (W, 41)
+                step_lp = step_lp_w[parent]  # (H, 41)
+                full = cum[:, None] + step_lp + self.mask_table[node]
+                full = jnp.where(alive[:, None], full, NEG)
+
+                vals, flat_idx = jax.lax.top_k(full.reshape(-1), W)
+                hsel = flat_idx // full.shape[1]
+                tok = (flat_idx % full.shape[1]).astype(jnp.int32)
+                valid = jnp.isfinite(vals)
+
+                new_cum = cum[hsel] + step_lp[hsel, tok]
+                new_hist = hist[hsel]
+                new_hist = jnp.where(
+                    jnp.arange(S)[None, :] == (t + 1), tok[:, None], new_hist
+                )
+                new_node = jnp.where(
+                    tok == end_tok,
+                    node[hsel],
+                    self.child_table[node[hsel], jnp.minimum(tok, self.phone_count - 1)],
+                )
+                new_ctx = ctx[hsel]
+                new_runlm = runlm[hsel]
+                new_chars = chars[hsel]
+                new_wc = wc[hsel]
+                new_words = words[hsel]
+
+                # finished hypotheses: score = mean(per-step probs) where the
+                # last step also carries the eos LM + final length penalty
+                ended = valid & (tok == end_tok)
+                eos_cond = lm.cond_logp(
+                    new_ctx[:, 0], new_ctx[:, 1], jnp.full((W,), lm.eos_id)
+                )
+                fin_add = (new_runlm + eos_cond
+                           + (new_chars.astype(jnp.float32) + 1.0) ** cfg.FinalLengthPenalty) * wt
+                fin_score = (new_cum + fin_add) / (t + 1).astype(jnp.float32)
+                fin_score = jnp.where(ended, fin_score, NEG)
+                # merge into the finished buffer (top-F by score)
+                cat_scores = jnp.concatenate([fin_scores, fin_score])
+                cat_hist = jnp.concatenate([fin_hist, new_hist])
+                cat_words = jnp.concatenate([fin_words, new_words])
+                cat_wc = jnp.concatenate([fin_wc, new_wc])
+                top_scores, top_idx = jax.lax.top_k(cat_scores, F)
+                fin_scores = top_scores
+                fin_hist = cat_hist[top_idx]
+                fin_words = cat_words[top_idx]
+                fin_wc = cat_wc[top_idx]
+
+                active = valid & ~ended
+
+                # word-boundary expansions: duplicate each active hypo once
+                # per word ending at its node, moved back to the root with
+                # the running LM + length-penalty addition
+                exp_words_ids = self.node_words[new_node]  # (W, K)
+                parts_hist = [new_hist]
+                parts_cum = [new_cum]
+                parts_node = [new_node]
+                parts_alive = [active]
+                parts_ctx = [new_ctx]
+                parts_runlm = [new_runlm]
+                parts_chars = [new_chars]
+                parts_wc = [new_wc]
+                parts_words = [new_words]
+                for k in range(K):
+                    wid = exp_words_ids[:, k]  # lexicon word ids, -1 pad
+                    has = active & (wid >= 0) & (new_wc < MW)
+                    wid_s = jnp.maximum(wid, 0)
+                    lm_w = lm.lex2lm[wid_s]
+                    cond_w = lm.cond_logp(new_ctx[:, 0], new_ctx[:, 1], lm_w)
+                    runlm_k = new_runlm + cond_w
+                    chars_k = new_chars + lm.word_chars[wid_s] + jnp.where(new_wc > 0, 1, 0)
+                    add = (runlm_k + (chars_k.astype(jnp.float32) + 1.0) ** cfg.RunningLengthPenalty) * wt
+                    parts_hist.append(new_hist)
+                    parts_cum.append(new_cum + add)
+                    parts_node.append(jnp.full((W,), self.root, jnp.int32))
+                    parts_alive.append(has)
+                    parts_ctx.append(
+                        jnp.stack([new_ctx[:, 1], lm_w], axis=1))
+                    parts_runlm.append(runlm_k)
+                    parts_chars.append(chars_k)
+                    parts_wc.append(new_wc + 1)
+                    w_upd = jnp.where(
+                        jnp.arange(MW)[None, :] == new_wc[:, None],
+                        wid_s[:, None], new_words)
+                    parts_words.append(w_upd)
+
+                hist = jnp.concatenate(parts_hist)
+                cum = jnp.concatenate(parts_cum)
+                node = jnp.concatenate(parts_node)
+                alive = jnp.concatenate(parts_alive)
+                ctx = jnp.concatenate(parts_ctx)
+                runlm = jnp.concatenate(parts_runlm)
+                chars = jnp.concatenate(parts_chars)
+                wc = jnp.concatenate(parts_wc)
+                words = jnp.concatenate(parts_words)
+
+                return (t + 1, hist, cum, node, alive, ctx, runlm, chars, wc,
+                        words, fin_scores, fin_hist, fin_words, fin_wc)
+
+            init = (jnp.int32(0), hist0, cum0, node0, alive0, ctx0, runlm0,
+                    chars0, wc0, words0, fin_scores0, fin_hist0, fin_words0,
+                    fin_wc0)
+            out = jax.lax.while_loop(cond, body, init)
+            (_, _, _, _, _, _, _, _, _, _,
+             fin_scores, fin_hist, fin_words, fin_wc) = out
+            return fin_scores, fin_hist, fin_words, fin_wc
+
+        return jax.jit(search, static_argnums=())
+
+    # ------------------------------------------------------------------
+    def search(self, batch: PackedBatch, target_len_tokens: int
+               ) -> Tuple[np.ndarray, float, List[str]]:
+        """Same contract as BeamSearcher.search."""
+        if self._search_fn is None:
+            self._search_fn = self._build()
+        max_len = jnp.int32(int(target_len_tokens) + self.cfg.extra_steps)
+        scores, hists, words, wcs = self._search_fn(self.variables, batch, max_len)
+        scores = np.asarray(scores)
+        best = int(np.argmax(scores))
+        if not np.isfinite(scores[best]):
+            return np.array([START_ID, self.phone_count]), -np.inf, []
+        hist = np.asarray(hists[best])
+        # trim history at the first end token
+        ends = np.where(hist == self.phone_count)[0]
+        hist = hist[: ends[0] + 1] if len(ends) else hist
+        wc = int(wcs[best])
+        names = [
+            self.tree.dictionary.lookup_word_by_index(int(w)).name
+            for w in np.asarray(words[best])[:wc]
+        ]
+        return hist, float(scores[best]), names

@@ -1,0 +1,129 @@
+"""Device-resident beam search: LM-table parity and end-to-end agreement
+with the host BeamSearcher."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from emg_tpu.config import DecodeConfig
+from emg_tpu.decode import ArpaLanguageModel, BeamSearcher, init_tree
+from emg_tpu.decode.device_beam import DeviceBeamSearcher
+from emg_tpu.decode.device_lm import build_device_lm
+from emg_tpu.decode.lm_train import train_arpa, write_arpa
+
+from tests.test_train_step import tiny_model, toy_batch
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tree = init_tree(
+        os.path.join(FIXTURES, "phonesSet"),
+        os.path.join(FIXTURES, "vocabulary"),
+        os.path.join(FIXTURES, "lexicon.txt"),
+    )
+    compiled = tree.compile_tables()
+    p = tmp_path_factory.mktemp("dlm") / "lm.arpa"
+    sents = ["the cat sat", "the dog ran", "the cat ran home", "a dog sat",
+             "we go now", "the moon is cold"] * 2
+    write_arpa(train_arpa(sents, order=3), str(p))
+    lm = ArpaLanguageModel(str(p))
+    lex_words = [
+        compiled.dictionary.lookup_word_by_index(i).name
+        for i in range(compiled.dictionary.word_count())
+    ]
+    dlm = build_device_lm(lm, lex_words)
+    return compiled, lm, dlm, lex_words
+
+
+def test_device_lm_cond_matches_python(setup):
+    compiled, lm, dlm, lex_words = setup
+    rng = np.random.default_rng(0)
+    # random (context, word) triples over the lexicon vocabulary
+    ids = rng.integers(0, len(lex_words), size=(50, 3))
+    for c1i, c2i, wi in ids:
+        c1w, c2w, ww = (lex_words[c1i].lower(), lex_words[c2i].lower(),
+                        lex_words[wi].lower())
+        ref = lm._word_score([c1w, c2w], ww)
+        got = float(
+            dlm.cond_logp(
+                dlm.lex2lm[jnp.asarray([c1i])],
+                dlm.lex2lm[jnp.asarray([c2i])],
+                dlm.lex2lm[jnp.asarray([wi])],
+            )[0]
+        )
+        assert got == pytest.approx(ref, abs=1e-4), (c1w, c2w, ww)
+
+
+def test_device_lm_bos_context(setup):
+    compiled, lm, dlm, lex_words = setup
+    for wi in range(0, len(lex_words), 5):
+        ref = lm._word_score(["<s>"], lex_words[wi].lower())
+        got = float(
+            dlm.cond_logp(
+                jnp.asarray([-1]), jnp.asarray([dlm.bos_id]),
+                dlm.lex2lm[jnp.asarray([wi])],
+            )[0]
+        )
+        assert got == pytest.approx(ref, abs=1e-4), lex_words[wi]
+
+
+def test_device_beam_matches_host(setup):
+    compiled, lm, dlm, lex_words = setup
+    model = tiny_model()
+    agreements = 0
+    total = 0
+    for seed in (11, 12, 13):
+        batch = toy_batch(B=1, n_rows=2, chunk=64, S=10, seed=seed)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(seed)},
+            batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+            batch.targets[:, :-1], 16, False,
+        )
+        cfg = DecodeConfig(BeamWidth=16, max_hypos=512, extra_steps=12)
+        target_len = int((batch.targets[0, 1:] != 40).sum())
+
+        host = BeamSearcher(model, variables, compiled, lm, cfg, 16)
+        h_hist, h_score, h_words = host.search(batch, target_len)
+
+        dev = DeviceBeamSearcher(model, variables, compiled, dlm, cfg, 16,
+                                 max_steps=target_len + 12)
+        d_hist, d_score, d_words = dev.search(batch, target_len)
+
+        if len(h_hist) == 0 or h_hist[-1] != 40 or not np.isfinite(d_score):
+            # neither side finished a hypothesis on this random model —
+            # fallbacks differ by design, skip the comparison
+            continue
+        total += 1
+        # float32 vs float64 accumulation can flip near-ties; scores of the
+        # winning hypotheses must agree closely, sequences usually exactly
+        assert d_score == pytest.approx(h_score, abs=5e-3)
+        if list(d_hist) == list(h_hist) and d_words == h_words:
+            agreements += 1
+    assert total >= 2, "searches never finished; test setup too tight"
+    assert agreements >= total - 1, (
+        f"device/host beams diverged too often: {agreements}/{total}"
+    )
+
+
+def test_device_beam_emits_lexicon_words(setup):
+    compiled, lm, dlm, lex_words = setup
+    model = tiny_model()
+    batch = toy_batch(B=1, n_rows=2, chunk=64, S=10, seed=21)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(21)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    cfg = DecodeConfig(BeamWidth=8, extra_steps=4)
+    dev = DeviceBeamSearcher(model, variables, compiled, dlm, cfg, 16, max_steps=12)
+    hist, score, words = dev.search(batch, 8)
+    vocab = set(lex_words)
+    for w in words:
+        assert w in vocab
+    assert hist[-1] == compiled.phone_count  # ends with </S>
