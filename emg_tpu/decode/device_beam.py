@@ -80,13 +80,18 @@ class DeviceBeamSearcher:
             src_mask = src_mask[:1]
             cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
 
-            def decode_lp(tokens, t):
-                logits = model.apply(
-                    variables, tokens, None, src_mask, False, cross_kvs,
-                    method=model.decode,
+            def decode_lp(tokens, t, caches):
+                """One incremental decoder step over the W decode rows:
+                feeds the token at position t with cached K/V for positions
+                0..t-1, returns (step log-probs, updated caches)."""
+                token_in = jax.lax.dynamic_index_in_dim(
+                    tokens, t, axis=1, keepdims=False
                 )
-                last = jax.lax.dynamic_index_in_dim(logits, t, axis=1, keepdims=False)
-                return jax.nn.log_softmax(last[:, :-2], axis=-1)  # (H, 41)
+                logits, caches = model.apply(
+                    variables, token_in, t, caches, cross_kvs, tokens, src_mask,
+                    method=model.decode_step,
+                )
+                return jax.nn.log_softmax(logits[:, :-2], axis=-1), caches
 
             # hypothesis state
             hist0 = jnp.full((H, S), 42, jnp.int32).at[:, 0].set(START_ID)
@@ -115,12 +120,13 @@ class DeviceBeamSearcher:
             # (row i's parent is i mod W), so only the first W rows need a
             # decoder pass — a (1+K)x saving on the per-step transformer cost
             parent = jnp.arange(H) % W
+            caches0 = model.init_decode_cache(W, S)
 
             def body(carry):
                 (t, hist, cum, node, alive, ctx, runlm, chars, wc, words,
-                 fin_scores, fin_hist, fin_words, fin_wc) = carry
+                 fin_scores, fin_hist, fin_words, fin_wc, caches) = carry
 
-                step_lp_w = decode_lp(hist[:W], t)  # (W, 41)
+                step_lp_w, caches = decode_lp(hist[:W], t, caches)  # (W, 41)
                 step_lp = step_lp_w[parent]  # (H, 41)
                 full = cum[:, None] + step_lp + self.mask_table[node]
                 full = jnp.where(alive[:, None], full, NEG)
@@ -215,15 +221,20 @@ class DeviceBeamSearcher:
                 wc = jnp.concatenate(parts_wc)
                 words = jnp.concatenate(parts_words)
 
+                # re-align the K/V caches with the reordered decode rows:
+                # the selected hypothesis hsel's prefix K/V live in cache row
+                # hsel % W (expansion rows shared their parent's history)
+                cache_sel = hsel % W
+                caches = jax.tree.map(lambda c: c[cache_sel], caches)
+
                 return (t + 1, hist, cum, node, alive, ctx, runlm, chars, wc,
-                        words, fin_scores, fin_hist, fin_words, fin_wc)
+                        words, fin_scores, fin_hist, fin_words, fin_wc, caches)
 
             init = (jnp.int32(0), hist0, cum0, node0, alive0, ctx0, runlm0,
                     chars0, wc0, words0, fin_scores0, fin_hist0, fin_words0,
-                    fin_wc0)
+                    fin_wc0, caches0)
             out = jax.lax.while_loop(cond, body, init)
-            (_, _, _, _, _, _, _, _, _, _,
-             fin_scores, fin_hist, fin_words, fin_wc) = out
+            fin_scores, fin_hist, fin_words, fin_wc = out[10:14]
             return fin_scores, fin_hist, fin_words, fin_wc
 
         return jax.jit(search, static_argnums=())
