@@ -62,6 +62,8 @@ class DeviceBeamSearcher:
         self.W = W
         self.H = W * (1 + self.K)
         self._search_fn = None
+        self._search_fn_raw = None
+        self._vsearch_fn = None
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -237,9 +239,54 @@ class DeviceBeamSearcher:
             fin_scores, fin_hist, fin_words, fin_wc = out[10:14]
             return fin_scores, fin_hist, fin_words, fin_wc
 
+        self._search_fn_raw = search
         return jax.jit(search, static_argnums=())
 
     # ------------------------------------------------------------------
+    def search_many(self, batches: List[PackedBatch], target_lens: List[int]):
+        """Decode several single-utterance batches in ONE launch via vmap
+        (all PackedBatches must share static shapes — bucket upstream).
+        Returns a list of (history, score, words) like ``search``.
+
+        Note: vmap runs the searches in lock-step until the longest one
+        finishes; on this hardware the single-utterance path is already
+        compute-bound, so batching helps only when launch latency dominates
+        (many very short searches) — measure before preferring this."""
+        if self._search_fn_raw is None:
+            self._search_fn = self._build()
+        if self._vsearch_fn is None:
+            self._vsearch_fn = jax.jit(jax.vmap(
+                self._search_fn_raw, in_axes=(None, 0, 0)
+            ))
+        import jax.tree_util as jtu
+
+        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *batches)
+        max_lens = jnp.asarray(
+            [int(t) + self.cfg.extra_steps for t in target_lens], jnp.int32
+        )
+        scores, hists, words, wcs = self._vsearch_fn(self.variables, stacked, max_lens)
+        results = []
+        for b in range(len(batches)):
+            results.append(self._format(
+                np.asarray(scores[b]), np.asarray(hists[b]),
+                np.asarray(words[b]), np.asarray(wcs[b]),
+            ))
+        return results
+
+    def _format(self, scores, hists, words, wcs):
+        best = int(np.argmax(scores))
+        if not np.isfinite(scores[best]):
+            return np.array([START_ID, self.phone_count]), -np.inf, []
+        hist = hists[best]
+        ends = np.where(hist == self.phone_count)[0]
+        hist = hist[: ends[0] + 1] if len(ends) else hist
+        wc = int(wcs[best])
+        names = [
+            self.tree.dictionary.lookup_word_by_index(int(w)).name
+            for w in words[best][:wc]
+        ]
+        return hist, float(scores[best]), names
+
     def search(self, batch: PackedBatch, target_len_tokens: int
                ) -> Tuple[np.ndarray, float, List[str]]:
         """Same contract as BeamSearcher.search."""
@@ -247,17 +294,7 @@ class DeviceBeamSearcher:
             self._search_fn = self._build()
         max_len = jnp.int32(int(target_len_tokens) + self.cfg.extra_steps)
         scores, hists, words, wcs = self._search_fn(self.variables, batch, max_len)
-        scores = np.asarray(scores)
-        best = int(np.argmax(scores))
-        if not np.isfinite(scores[best]):
-            return np.array([START_ID, self.phone_count]), -np.inf, []
-        hist = np.asarray(hists[best])
-        # trim history at the first end token
-        ends = np.where(hist == self.phone_count)[0]
-        hist = hist[: ends[0] + 1] if len(ends) else hist
-        wc = int(wcs[best])
-        names = [
-            self.tree.dictionary.lookup_word_by_index(int(w)).name
-            for w in np.asarray(words[best])[:wc]
-        ]
-        return hist, float(scores[best]), names
+        return self._format(
+            np.asarray(scores), np.asarray(hists), np.asarray(words),
+            np.asarray(wcs),
+        )

@@ -127,3 +127,29 @@ def test_device_beam_emits_lexicon_words(setup):
     for w in words:
         assert w in vocab
     assert hist[-1] == compiled.phone_count  # ends with </S>
+
+
+def test_search_many_matches_single(setup):
+    compiled, lm, dlm, lex_words = setup
+    model = tiny_model()
+    batches, lens, singles = [], [], []
+    cfg = DecodeConfig(BeamWidth=8, extra_steps=6)
+    variables = None
+    for seed in (31, 32, 33):
+        b = toy_batch(B=1, n_rows=2, chunk=64, S=10, seed=seed)
+        if variables is None:
+            variables = model.init(
+                {"params": jax.random.PRNGKey(99)},
+                b.packed_raw, b.n_rows, b.offsets, b.lengths,
+                b.targets[:, :-1], 16, False,
+            )
+        batches.append(b)
+        lens.append(int((b.targets[0, 1:] != 40).sum()))
+    dev = DeviceBeamSearcher(model, variables, compiled, dlm, cfg, 16, max_steps=16)
+    for b, L in zip(batches, lens):
+        singles.append(dev.search(b, L))
+    many = dev.search_many(batches, lens)
+    for (h1, s1, w1), (h2, s2, w2) in zip(singles, many):
+        assert list(h1) == list(h2)
+        assert w1 == w2
+        assert s1 == pytest.approx(s2, abs=1e-5)
