@@ -177,7 +177,12 @@ def train(cfg: Config):
     trainset = EMGDataset(cfg, dev=False, test=False)
     devset = EMGDataset(cfg, dev=True)
     log.info("train / dev split: %d %d", len(trainset), len(devset))
-    writer = MetricsWriter(default_log_dir())
+    # the reference writes logs/run/<timestamp> relative to cwd
+    # (recognition_model.py:397); anchoring under output_directory keeps
+    # runs self-contained
+    writer = MetricsWriter(
+        default_log_dir(os.path.join(cfg.paths.output_directory, "logs", "run"))
+    )
     trainer = Trainer(cfg, trainset, devset, writer)
     state = None
     if cfg.paths.resume and trainer.ckpt.exists("latest"):
