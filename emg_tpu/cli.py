@@ -124,6 +124,7 @@ def evaluate_saved_beam_search(cfg: Config):
     tt = TextTransform()
 
     device_searchers = {}
+    host_searchers = {}
     if cfg.decode.device_beam:
         from emg_tpu.decode.device_beam import DeviceBeamSearcher
         from emg_tpu.decode.device_lm import build_device_lm
@@ -153,7 +154,12 @@ def evaluate_saved_beam_search(cfg: Config):
                 )
             searcher = device_searchers[key]
         else:
-            searcher = BeamSearcher(model, variables, compiled, lm, cfg.decode, max_frames)
+            # cache per frame bucket so jitted decode steps compile once
+            if max_frames not in host_searchers:
+                host_searchers[max_frames] = BeamSearcher(
+                    model, variables, compiled, lm, cfg.decode, max_frames
+                )
+            searcher = host_searchers[max_frames]
         _, _, words = searcher.search(pb, target_len)
         pred_text = tt.clean_text(" ".join(words))
         target_text = tt.clean_text(raw["text"][0])

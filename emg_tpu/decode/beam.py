@@ -160,7 +160,13 @@ class BeamSearcher:
                 [probs[hsel], step_probs[hsel, tok][:, None]], axis=1
             )
             new_words = [words[i] for i in hsel]
-            new_nodes = tree.step(nodes[hsel], tok)
+            if cfg.Constrained:
+                new_nodes = tree.step(nodes[hsel], tok)
+            else:
+                # unconstrained search carries no tree state (the reference
+                # raises here; we degrade to a plain phone beam without
+                # word emission)
+                new_nodes = np.full(len(hsel), tree.root, np.int32)
 
             # save + remove finished hypos
             end_mask = new_histories[:, -1] == end_tok
@@ -179,7 +185,7 @@ class BeamSearcher:
 
             # word-boundary expansion: duplicate word-end hypos to the root
             add_probs, add_words, add_nodes, add_idx = [], [], [], []
-            for i in range(histories.shape[0]):
+            for i in range(histories.shape[0] if cfg.Constrained else 0):
                 for wid in tree.node_words[nodes[i]]:
                     p = probs[i].copy()
                     p[-1] += self._running_lm(words[i] + [wid]) * cfg.LMWeight

@@ -34,14 +34,17 @@ NEG = -jnp.inf
 class DeviceBeamSearcher:
     def __init__(self, model, variables, tree: CompiledTree, device_lm: DeviceLM,
                  cfg: DecodeConfig, max_frames: int, max_steps: int = 64,
-                 max_words: int = 24, finished_size: int = 64):
+                 max_words: int = None, finished_size: int = 64):
         assert cfg.Constrained, "the device beam requires lexicon constraints"
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.max_frames = max_frames
         self.S = max_steps + 1
-        self.MW = max_words
+        # every word consumes at least one phone step, so max_steps words
+        # can never be exceeded — a smaller cap would silently freeze
+        # hypotheses at word-end nodes where </S> is invalid
+        self.MW = max_words if max_words is not None else max_steps
         self.F = finished_size
 
         # dense tree tables on device; word slots per node fixed to K

@@ -25,33 +25,28 @@ from emg_tpu.decode.ngram import BOS, EOS, UNK, ArpaLanguageModel
 MAX_PROBES = 16
 
 
-def _hash_u32(keys: np.ndarray, size: int) -> np.ndarray:
-    """Knuth multiplicative hash in wrapping uint32 arithmetic — the device
-    computes the identical function (int64 is unavailable under jax's
-    default x64-disabled config)."""
-    with np.errstate(over="ignore"):
-        h = keys.astype(np.uint32) * np.uint32(2654435761)
-    return (h % np.uint32(size)).astype(np.int64)
-
-
-def _build_table(keys: np.ndarray, values: np.ndarray, backoffs: np.ndarray):
-    """Open-addressing (linear probe) table; grows until every key fits
-    within MAX_PROBES probes. Returns (tkeys, tvals, tbos, size)."""
-    n = max(len(keys), 1)
+def _build_pair_table(k1s, k2s, values, backoffs):
+    """Open-addressing table keyed by an (int32, int32) pair — no packing,
+    so arbitrary vocabulary sizes cannot overflow or alias. Grows until
+    every key fits within MAX_PROBES probes.
+    Returns (t1, t2, tvals, tbos, size)."""
+    n = max(len(k1s), 1)
     size = 1
     while size < 2 * n:
         size *= 2
     while True:
-        tkeys = np.full(size, -1, np.int32)
+        t1 = np.full(size, -1, np.int32)
+        t2 = np.full(size, -1, np.int32)
         tvals = np.zeros(size, np.float32)
         tbos = np.zeros(size, np.float32)
         ok = True
-        for k, v, b in zip(keys, values, backoffs):
-            h = int(_hash_u32(np.asarray([k]), size)[0])
+        for k1, k2, v, b in zip(k1s, k2s, values, backoffs):
+            h = int(_pair_hash_host(int(k1), int(k2), size))
             for probe in range(MAX_PROBES):
                 slot = (h + probe) % size
-                if tkeys[slot] == -1:
-                    tkeys[slot] = k
+                if t1[slot] == -1:
+                    t1[slot] = k1
+                    t2[slot] = k2
                     tvals[slot] = v
                     tbos[slot] = b
                     break
@@ -59,7 +54,50 @@ def _build_table(keys: np.ndarray, values: np.ndarray, backoffs: np.ndarray):
                 ok = False
                 break
         if ok:
-            return tkeys, tvals, tbos, size
+            return t1, t2, tvals, tbos, size
+        size *= 2
+
+
+def _pair_hash_host(k1: int, k2: int, size: int) -> int:
+    with np.errstate(over="ignore"):
+        mixed = np.uint32(np.uint64(k1) * 1000003 + np.uint64(k2))
+        return int((np.uint64(mixed) * 2654435761) % (2 ** 32) % size)
+
+
+def _triple_hash_host(k1: int, k2: int, k3: int, size: int) -> int:
+    with np.errstate(over="ignore"):
+        inner = np.uint32(np.uint64(k1) * 1000003 + np.uint64(k2))
+        mixed = np.uint32(np.uint64(inner) * 1000003 + np.uint64(k3))
+        return int((np.uint64(mixed) * 2654435761) % (2 ** 32) % size)
+
+
+def _build_triple_table(k1s, k2s, k3s, values):
+    """Open-addressing table keyed by an int32 triple (trigram entries)."""
+    n = max(len(k1s), 1)
+    size = 1
+    while size < 2 * n:
+        size *= 2
+    while True:
+        t1 = np.full(size, -1, np.int32)
+        t2 = np.full(size, -1, np.int32)
+        t3 = np.full(size, -1, np.int32)
+        tv = np.zeros(size, np.float32)
+        ok = True
+        for k1, k2, k3, v in zip(k1s, k2s, k3s, values):
+            h = _triple_hash_host(int(k1), int(k2), int(k3), size)
+            for probe in range(MAX_PROBES):
+                slot = (h + probe) % size
+                if t1[slot] == -1:
+                    t1[slot] = k1
+                    t2[slot] = k2
+                    t3[slot] = k3
+                    tv[slot] = v
+                    break
+            else:
+                ok = False
+                break
+        if ok:
+            return t1, t2, t3, tv, size
         size *= 2
 
 
@@ -75,12 +113,14 @@ class DeviceLM:
     word_chars: jnp.ndarray  # (n_words + 3,) characters per lexicon word
     uni_logp: jnp.ndarray  # (n_lm,)
     uni_bo: jnp.ndarray  # (n_lm,)
-    bi_keys: jnp.ndarray
+    bi_k1: jnp.ndarray  # context word
+    bi_k2: jnp.ndarray  # word
     bi_vals: jnp.ndarray
     bi_bos: jnp.ndarray
     bi_size: int
-    tri_k1: jnp.ndarray  # packed (c1, c2)
-    tri_k2: jnp.ndarray  # w
+    tri_k1: jnp.ndarray  # c1
+    tri_k2: jnp.ndarray  # c2
+    tri_k3: jnp.ndarray  # w
     tri_vals: jnp.ndarray
     tri_size: int
     n_lm: int
@@ -96,22 +136,29 @@ class DeviceLM:
             found = found | hit
         return found, slot
 
+    @staticmethod
+    def _pair_hash(k1, k2, size):
+        mixed = k1.astype(jnp.uint32) * jnp.uint32(1000003) + k2.astype(jnp.uint32)
+        return ((mixed * jnp.uint32(2654435761)) % jnp.uint32(size)).astype(jnp.int32)
+
     def bi_lookup(self, c, w):
         """Returns (found, logp, backoff) for LM-id bigram (c, w)."""
-        key = c * jnp.int32(self.n_lm) + w
-        h = (key.astype(jnp.uint32) * jnp.uint32(2654435761)) % jnp.uint32(self.bi_size)
-        h = h.astype(jnp.int32)
-        found, slot = self._probe(self.bi_keys, h, lambda s: self.bi_keys[s] == key)
+        h = self._pair_hash(c, w, self.bi_size)
+        found, slot = self._probe(
+            self.bi_k1, h, lambda s: (self.bi_k1[s] == c) & (self.bi_k2[s] == w)
+        )
         return found, self.bi_vals[slot], self.bi_bos[slot]
 
     def tri_lookup(self, c1, c2, w):
-        key1 = c1 * jnp.int32(self.n_lm) + c2
-        mixed = key1.astype(jnp.uint32) * jnp.uint32(1000003) + w.astype(jnp.uint32)
-        h = (mixed * jnp.uint32(2654435761)) % jnp.uint32(self.tri_size)
-        h = h.astype(jnp.int32)
+        # two-level pair hash: mix (c1, c2) first, then the word
+        inner = (c1.astype(jnp.uint32) * jnp.uint32(1000003)
+                 + c2.astype(jnp.uint32))
+        mixed = inner * jnp.uint32(1000003) + w.astype(jnp.uint32)
+        h = ((mixed * jnp.uint32(2654435761)) % jnp.uint32(self.tri_size)).astype(jnp.int32)
         found, slot = self._probe(
             self.tri_k1, h,
-            lambda s: (self.tri_k1[s] == key1) & (self.tri_k2[s] == w),
+            lambda s: (self.tri_k1[s] == c1) & (self.tri_k2[s] == c2)
+            & (self.tri_k3[s] == w),
         )
         return found, self.tri_vals[slot]
 
@@ -171,51 +218,23 @@ def build_device_lm(lm: ArpaLanguageModel, lexicon_words: Sequence[str]) -> Devi
     def wid(w: str) -> int:
         return lm_id.get(w, unk)
 
-    bi_keys, bi_vals, bi_bos = [], [], []
+    bi_c, bi_w, bi_vals, bi_bos = [], [], [], []
     if lm.order >= 2:
         for (c, w), (p, b) in lm.ngrams[2].items():
-            bi_keys.append(wid(c) * n_lm + wid(w))
+            bi_c.append(wid(c))
+            bi_w.append(wid(w))
             bi_vals.append(p)
             bi_bos.append(b)
-    bk, bv, bb, bi_size = _build_table(
-        np.asarray(bi_keys, np.int64), np.asarray(bi_vals, np.float32),
-        np.asarray(bi_bos, np.float32),
-    )
+    bk1, bk2, bv, bb, bi_size = _build_pair_table(bi_c, bi_w, bi_vals, bi_bos)
 
-    tri_k1, tri_k2, tri_vals = [], [], []
+    tri_c1, tri_c2, tri_w, tri_vals = [], [], [], []
     if lm.order >= 3:
         for (c1, c2, w), (p, _) in lm.ngrams[3].items():
-            tri_k1.append(wid(c1) * n_lm + wid(c2))
-            tri_k2.append(wid(w))
+            tri_c1.append(wid(c1))
+            tri_c2.append(wid(c2))
+            tri_w.append(wid(w))
             tri_vals.append(p)
-    # trigram table probes on (k1 mixed with k2); reuse the builder by
-    # hashing the mixed key but storing both parts
-    n = max(len(tri_k1), 1)
-    size = 1
-    while size < 2 * n:
-        size *= 2
-    while True:
-        t1 = np.full(size, -1, np.int32)
-        t2 = np.full(size, -1, np.int32)
-        tv = np.zeros(size, np.float32)
-        ok = True
-        for k1, k2, v in zip(tri_k1, tri_k2, tri_vals):
-            with np.errstate(over="ignore"):
-                mixed = np.uint32(np.uint64(k1) * 1000003 + np.uint64(k2))
-                h = int((np.uint64(mixed) * 2654435761) % (2 ** 32) % size)
-            for probe in range(MAX_PROBES):
-                slot = (h + probe) % size
-                if t1[slot] == -1:
-                    t1[slot] = k1
-                    t2[slot] = k2
-                    tv[slot] = v
-                    break
-            else:
-                ok = False
-                break
-        if ok:
-            break
-        size *= 2
+    t1, t2, t3, tv, size = _build_triple_table(tri_c1, tri_c2, tri_w, tri_vals)
 
     n_words = len(lexicon_words)
     lex2lm = np.zeros(n_words + 3, np.int32)
@@ -232,12 +251,14 @@ def build_device_lm(lm: ArpaLanguageModel, lexicon_words: Sequence[str]) -> Devi
         word_chars=jnp.asarray(chars),
         uni_logp=jnp.asarray(uni_logp),
         uni_bo=jnp.asarray(uni_bo),
-        bi_keys=jnp.asarray(bk),
+        bi_k1=jnp.asarray(bk1),
+        bi_k2=jnp.asarray(bk2),
         bi_vals=jnp.asarray(bv),
         bi_bos=jnp.asarray(bb),
         bi_size=bi_size,
         tri_k1=jnp.asarray(t1),
         tri_k2=jnp.asarray(t2),
+        tri_k3=jnp.asarray(t3),
         tri_vals=jnp.asarray(tv),
         tri_size=size,
         n_lm=n_lm,

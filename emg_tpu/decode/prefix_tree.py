@@ -157,21 +157,9 @@ def init_tree(phones_file: str, vocab_file: str, dict_file: str) -> PrefixTree:
     PrefixTree.init_tree, :218-249): phone set + dedup'd vocabulary +
     pronunciation dictionary (the lexicon's word set is what populates the
     tree, as in the reference)."""
-    raw = {}
-    with open(dict_file) as f:
-        for line in f:
-            parts = line.split()
-            if parts:
-                raw[parts[0]] = parts[1:]
+    from emg_tpu.text.lexicon import load_pronunciation_dict
 
-    dct = Dictionary()
-    dct.read_phones_set(phones_file)
-    for w in raw:
-        dct.add_word(w)
-    for w, pron in raw.items():
-        word = dct.lookup_word_by_name(w)
-        dct.add_pronunciation(word, [dct.lookup_phone_by_name(p) for p in pron])
-
+    dct = load_pronunciation_dict(phones_file, vocab_file, dict_file)
     tree = PrefixTree(dct, dct.phone_count())
-    tree.add_words([dct.lookup_word_by_name(w) for w in raw])
+    tree.add_words(list(dct.words_by_index().values()))
     return tree

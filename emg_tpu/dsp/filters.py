@@ -13,7 +13,7 @@ kernel serves a whole bucket of utterance lengths.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

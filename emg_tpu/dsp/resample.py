@@ -75,7 +75,9 @@ def _masked_output_length(n, new_freq: float, old_freq: float):
     """
     num = round(float(new_freq) * 100)
     den = round(float(old_freq) * 100)
-    if abs(num - float(new_freq) * 100) > 1e-9 or abs(den - float(old_freq) * 100) > 1e-9:
+    if (abs(num - float(new_freq) * 100) > 1e-9
+            or abs(den - float(old_freq) * 100) > 1e-9
+            or den % 1000 != 0):
         # fall back to float math for non-centihertz rates
         return jnp.ceil(
             (n - 1).astype(jnp.float32) / np.float32(old_freq) * np.float32(new_freq)

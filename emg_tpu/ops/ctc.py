@@ -40,16 +40,18 @@ def ctc_loss(
     per_seq = optax.ctc_loss(
         log_probs, logit_paddings, labels, label_paddings, blank_id=blank
     )
+    if reduction not in ("none", "mean", "sum"):
+        raise ValueError(f"unknown reduction {reduction}")
     if reduction == "none":
         return per_seq
+    if reduction == "sum":
+        if batch_mask is not None:
+            per_seq = jnp.where(batch_mask, per_seq, 0.0)
+        return jnp.sum(per_seq)
     denom = jnp.maximum(target_lengths, 1).astype(per_seq.dtype)
     per_seq = per_seq / denom
     if batch_mask is not None:
         per_seq = jnp.where(batch_mask, per_seq, 0.0)
         count = jnp.maximum(jnp.sum(batch_mask), 1).astype(per_seq.dtype)
         return jnp.sum(per_seq) / count
-    if reduction == "mean":
-        return jnp.mean(per_seq)
-    if reduction == "sum":
-        return jnp.sum(per_seq * denom)
-    raise ValueError(f"unknown reduction {reduction}")
+    return jnp.mean(per_seq)

@@ -205,3 +205,25 @@ def test_lm_trainer_produces_valid_arpa(tmp_path):
         assert native.score("the cat sat", True, True) == pytest.approx(good, abs=1e-4)
     except Exception:
         pass
+
+
+def test_beam_unconstrained_no_word_garbage(arpa_path):
+    """Unconstrained search must not step tree nodes or emit words
+    (regression: node id -1 wrap-around fabricated word emissions)."""
+    tree = init_tree(
+        os.path.join(FIXTURES, "phonesSet"),
+        os.path.join(FIXTURES, "vocabulary"),
+        os.path.join(FIXTURES, "lexicon.txt"),
+    ).compile_tables()
+    lm = ArpaLanguageModel(arpa_path)
+    model = tiny_model()
+    batch = toy_batch(B=1, n_rows=2, chunk=64, S=8, seed=41)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(41)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    cfg = DecodeConfig(BeamWidth=6, extra_steps=6, Constrained=False)
+    searcher = BeamSearcher(model, variables, tree, lm, cfg, max_frames=16)
+    history, score, names = searcher.search(batch, 6)
+    assert names == []  # no word emission without constraints

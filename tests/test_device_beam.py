@@ -153,3 +153,19 @@ def test_search_many_matches_single(setup):
         assert list(h1) == list(h2)
         assert w1 == w2
         assert s1 == pytest.approx(s2, abs=1e-5)
+
+
+def test_device_lm_large_vocab_keys():
+    """Pair/triple hash tables must handle LM vocabularies whose packed
+    keys would overflow int32 (regression for the key-packing scheme)."""
+    from emg_tpu.decode.device_lm import _build_pair_table, _build_triple_table
+
+    big = 80_000  # > 46341, where id*id packing overflowed int32
+    k1 = np.asarray([big - 1, big - 2, 7], np.int64)
+    k2 = np.asarray([big - 3, 5, big - 4], np.int64)
+    t1, t2, tv, tb, size = _build_pair_table(k1, k2, [0.1, 0.2, 0.3], [0.0] * 3)
+    assert (t1 != -2).all()  # built without overflow
+    stored = {(int(a), int(b)) for a, b in zip(t1[t1 >= 0], t2[t1 >= 0])}
+    assert (big - 1, big - 3) in stored
+    r1, r2, r3, rv, _ = _build_triple_table(k1, k2, k2, [0.1, 0.2, 0.3])
+    assert (r1 >= -1).all()

@@ -377,3 +377,23 @@ def test_label_smoothing_bucket_padding_invariance():
         )
     )
     assert padded == pytest.approx(base, rel=1e-5)
+
+
+def test_ctc_reduction_dispatch():
+    """'sum' and invalid reductions behave correctly with a batch mask."""
+    B, T, C, S = 2, 10, 44, 4
+    rng = np.random.default_rng(0)
+    lp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32), axis=-1))
+    tg = rng.integers(0, 40, size=(B, S))
+    il = np.array([10, 8]); tl = np.array([4, 3])
+    mask = jnp.asarray([True, False])
+    s_masked = float(ctc_loss(jnp.asarray(lp), jnp.asarray(il), jnp.asarray(tg),
+                              jnp.asarray(tl), blank=43, reduction="sum",
+                              batch_mask=mask))
+    per = np.asarray(ctc_loss(jnp.asarray(lp), jnp.asarray(il), jnp.asarray(tg),
+                              jnp.asarray(tl), blank=43, reduction="none"))
+    assert s_masked == pytest.approx(per[0], rel=1e-5)
+    with pytest.raises(ValueError):
+        ctc_loss(jnp.asarray(lp), jnp.asarray(il), jnp.asarray(tg),
+                 jnp.asarray(tl), blank=43, reduction="typo")
