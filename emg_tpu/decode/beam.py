@@ -42,7 +42,12 @@ def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # beyond the precompiled sizes: grow by powers of two so long decodes
+    # still get a (freshly compiled) static shape instead of overflowing
+    b = buckets[-1]
+    while b < n:
+        b *= 2
+    return b
 
 
 class BeamSearcher:

@@ -207,6 +207,41 @@ def test_lm_trainer_produces_valid_arpa(tmp_path):
         pass
 
 
+def test_beam_long_decode_past_last_bucket(arpa_path):
+    """Decodes longer than the largest precompiled step bucket must grow a
+    fresh power-of-two bucket instead of overflowing the token buffer
+    (regression: `could not broadcast (4,300) into (4,256)`)."""
+    from emg_tpu.decode.beam import STEP_BUCKETS, _bucket
+
+    assert _bucket(300, STEP_BUCKETS) == 512
+    assert _bucket(700, STEP_BUCKETS) == 1024
+
+    tree = init_tree(
+        os.path.join(FIXTURES, "phonesSet"),
+        os.path.join(FIXTURES, "vocabulary"),
+        os.path.join(FIXTURES, "lexicon.txt"),
+    ).compile_tables()
+    lm = ArpaLanguageModel(arpa_path)
+    model = tiny_model()
+    batch = toy_batch(B=1, n_rows=2, chunk=64, S=8, seed=7)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(7)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    cfg = DecodeConfig(BeamWidth=4, max_hypos=16, extra_steps=4)
+    searcher = BeamSearcher(model, variables, tree, lm, cfg, max_frames=16)
+    searcher.memory, searcher.mem_mask, searcher.cross_kvs = searcher._encode(batch)
+    rng = np.random.default_rng(0)
+    histories = np.concatenate(
+        [np.full((4, 1), START_ID, np.int32),
+         rng.integers(0, 40, (4, 299)).astype(np.int32)], axis=1
+    )
+    out = searcher._decoder_logprobs(histories, histories.shape[1])
+    assert out.shape == (4, 41)
+    assert np.all(np.isfinite(out))
+
+
 def test_beam_unconstrained_no_word_garbage(arpa_path):
     """Unconstrained search must not step tree nodes or emit words
     (regression: node id -1 wrap-around fabricated word emissions)."""
