@@ -1,7 +1,9 @@
 from emg_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    mesh_from_config,
     batch_pspec,
     param_pspec,
+    shard_batch,
     shard_params,
     param_shardings,
     replicated,

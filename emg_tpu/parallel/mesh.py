@@ -29,6 +29,36 @@ def make_mesh(data_axis: int = -1, model_axis: int = 1, devices: Optional[Sequen
     return Mesh(arr, ("data", "model"))
 
 
+def mesh_from_config(pcfg, devices: Optional[Sequence] = None) -> Optional[Mesh]:
+    """Build the training mesh from a ParallelConfig, or None.
+
+    Parallelism activates when the user sets any mesh axis explicitly
+    (``--parallel.data_axis`` / ``--parallel.model_axis``); the defaults
+    (-1, 1) keep the single-device path. ``data_axis=-1`` with an explicit
+    ``model_axis`` spans all remaining devices.
+    """
+    if pcfg.data_axis == -1 and pcfg.model_axis == 1:
+        return None
+    mesh = make_mesh(pcfg.data_axis, pcfg.model_axis, devices)
+    if mesh.devices.size == 1:
+        return None
+    return mesh
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a PackedBatch on the mesh per batch_pspec (leading dim = data)."""
+    specs = batch_pspec()
+
+    def place(name, value):
+        return jax.device_put(value, NamedSharding(mesh, specs[name]))
+
+    from emg_tpu.data.batching import PackedBatch
+
+    return PackedBatch(**{
+        name: place(name, getattr(batch, name)) for name in specs
+    })
+
+
 def batch_pspec() -> dict:
     """PartitionSpecs for a PackedBatch's array fields (leading dim = data)."""
     return {

@@ -32,6 +32,7 @@ from emg_tpu.data.dataset import EMGDataset
 from emg_tpu.data.sampler import DynamicBatchSampler
 from emg_tpu.decode.greedy import run_greedy
 from emg_tpu.models import EMGModel
+from emg_tpu.parallel.mesh import mesh_from_config, replicated, shard_batch, shard_params
 from emg_tpu.parallel.train_step import make_eval_step, make_train_step
 from emg_tpu.text.metrics import wer
 from emg_tpu.train.checkpoint import CheckpointManager
@@ -66,6 +67,17 @@ class Trainer:
         self._eval_steps = {}
         self.ckpt = CheckpointManager(config.paths.output_directory)
         self.rng = jax.random.PRNGKey(config.train.seed)
+        # first-class TPU parallelism (SURVEY.md §2.3): a (data, model) mesh
+        # built from --parallel.* flags; params/batches are sharded and the
+        # jitted steps compile to one SPMD program with XLA collectives
+        self.mesh = mesh_from_config(config.parallel)
+        self._dp = int(self.mesh.shape["data"]) if self.mesh is not None else 1
+        if self.mesh is not None:
+            log.info(
+                "parallel mesh: %d data x %d model over %d devices",
+                self.mesh.shape["data"], self.mesh.shape["model"],
+                self.mesh.devices.size,
+            )
 
     # -- batch assembly ----------------------------------------------------
     def _prepare(self, dataset: EMGDataset, idxs: List[int]):
@@ -74,7 +86,10 @@ class Trainer:
         pb = make_packed_batch(
             batch["raw_emg"], batch["lengths"], batch["phonemes_int"],
             chunk=self.config.data.packed_chunk,
+            row_multiple=self._dp, batch_multiple=self._dp,
         )
+        if self.mesh is not None:
+            pb = shard_batch(pb, self.mesh)
         max_frames = bucket_up(max(batch["lengths"]), FRAME_BUCKETS)
         return pb, max_frames, batch
 
@@ -136,6 +151,11 @@ class Trainer:
             params = merge_params(params, loaded_params)
             batch_stats = merge_params(batch_stats, loaded_bs)
             log.info("warm started from %s", self.config.paths.start_training_from)
+        if self.mesh is not None:
+            # shard params before building the optimizer so its moments
+            # (zeros_like) inherit the same shardings
+            params = shard_params(params, self.mesh)
+            batch_stats = jax.device_put(batch_stats, replicated(self.mesh))
         return create_train_state(params, batch_stats, self.config.train)
 
     # -- evaluation --------------------------------------------------------
