@@ -123,6 +123,7 @@ def test_prefix_tree_tables():
     assert stepped[0] == ct.root
 
 
+@pytest.mark.slow
 def test_beam_search_end_to_end(arpa_path):
     """Beam search over a tiny random model returns lexicon words only."""
     tree = init_tree(
@@ -207,6 +208,7 @@ def test_lm_trainer_produces_valid_arpa(tmp_path):
         pass
 
 
+@pytest.mark.slow
 def test_beam_long_decode_past_last_bucket(arpa_path):
     """Decodes longer than the largest precompiled step bucket must grow a
     fresh power-of-two bucket instead of overflowing the token buffer

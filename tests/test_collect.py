@@ -100,6 +100,7 @@ def test_reduce_noise_attenuates_noise_floor():
     assert np.sqrt((cleaned_quiet ** 2).mean()) < 0.5 * np.sqrt((quiet ** 2).mean())
 
 
+@pytest.mark.slow
 def test_clean_directory_and_dataset_roundtrip(tmp_path):
     """Record with the synthetic board, denoise, then load the session with
     EMGDataset — the full capture-to-training-data path."""

@@ -35,6 +35,7 @@ def corpus(tmp_path_factory):
     return cfg, paths
 
 
+@pytest.mark.slow
 def test_corpus_layout(corpus):
     _, paths = corpus
     sess = os.path.join(paths["silent_data_directories"], "sess1")
@@ -46,6 +47,7 @@ def test_corpus_layout(corpus):
     assert info1["sentence_index"] == 0 and info1["chunks"][0][0] > 0
 
 
+@pytest.mark.slow
 def test_dataset_splits(corpus):
     cfg, _ = corpus
     train = EMGDataset(cfg)
@@ -65,6 +67,7 @@ def test_dataset_splits(corpus):
     assert train.num_speech_features == 80
 
 
+@pytest.mark.slow
 def test_getitem_transforms(corpus):
     cfg, _ = corpus
     ds = EMGDataset(cfg)
@@ -82,6 +85,7 @@ def test_getitem_transforms(corpus):
     assert ds[0] is ex
 
 
+@pytest.mark.slow
 def test_silent_aliasing(corpus):
     cfg, _ = corpus
     ds = EMGDataset(cfg)
@@ -95,6 +99,7 @@ def test_silent_aliasing(corpus):
     assert ex["phonemes_int"].shape[0] > 2
 
 
+@pytest.mark.slow
 def test_collate(corpus):
     cfg, _ = corpus
     ds = EMGDataset(cfg)
@@ -104,6 +109,7 @@ def test_collate(corpus):
     assert batch["phonemes_int_lengths"][0] == ds[0]["phonemes_int"].shape[0]
 
 
+@pytest.mark.slow
 def test_sampler_deterministic(corpus):
     cfg, _ = corpus
     ds = EMGDataset(cfg)

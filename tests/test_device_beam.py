@@ -17,6 +17,8 @@ from emg_tpu.decode.lm_train import train_arpa, write_arpa
 
 from tests.test_train_step import tiny_model, toy_batch
 
+pytestmark = pytest.mark.slow
+
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 

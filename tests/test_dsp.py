@@ -36,6 +36,7 @@ RNG = np.random.default_rng(0)
 # IIR filtering
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_lfilter_matches_scipy():
     b, a = design_notch(60.0, 30.0, 1000.0)
     x = np.random.default_rng(9).normal(size=500).astype(np.float32)
@@ -44,6 +45,7 @@ def test_lfilter_matches_scipy():
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_lfilter_with_zi_matches_scipy():
     b, a = design_highpass(3, 2.0, 1000.0)
     x = np.random.default_rng(8).normal(size=300)
@@ -56,6 +58,7 @@ def test_lfilter_with_zi_matches_scipy():
 
 
 @pytest.mark.parametrize("design", ["notch", "butter"])
+@pytest.mark.slow
 def test_filtfilt_matches_scipy(design):
     if design == "notch":
         b, a = design_notch(120.0, 30.0, 1000.0)
@@ -70,6 +73,7 @@ def test_filtfilt_matches_scipy(design):
 
 
 @pytest.mark.parametrize("n", [200, 511, 700])
+@pytest.mark.slow
 def test_filtfilt_masked_matches_exact(n):
     b, a = design_notch(60.0, 30.0, 1000.0)
     T = 700
@@ -80,6 +84,7 @@ def test_filtfilt_masked_matches_exact(n):
     np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_notch_harmonics_chain_matches_scipy():
     x = np.random.default_rng(7).normal(size=(900, 2))
     y = x.copy().astype(np.float64)
@@ -186,6 +191,7 @@ def test_emg_features_match_numpy_oracle():
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_emg_features_masked_match_exact():
     T, n = 400, 301
     emg = np.zeros((T, 8), np.float32)
@@ -196,6 +202,7 @@ def test_emg_features_masked_match_exact():
     np.testing.assert_allclose(np.asarray(ours)[: int(valid)], ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_zcr_counts_sign_changes():
     # simple alternating signal: every adjacent pair is a crossing
     x = np.tile([1.0, -1.0], 50).astype(np.float32)[:, None]
@@ -308,6 +315,7 @@ def _oracle_load_utterance_dsp(before, raw, after):
     return feats, emg[6 : 6 + 6 * F], emg_orig[8 : 8 + 8 * F]
 
 
+@pytest.mark.slow
 def test_preprocess_emg_host_matches_oracle():
     raw = RNG.normal(size=(2000, 8)).astype(np.float64)
     before = RNG.normal(size=(300, 8)).astype(np.float64)

@@ -13,6 +13,8 @@ from emg_tpu.config import Config
 from emg_tpu.data import make_synthetic_corpus, make_normalizers
 from emg_tpu.decode.ngram import write_fixture_arpa
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):

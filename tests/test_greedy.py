@@ -1,6 +1,7 @@
 """Stage-6 tests: device greedy decoder vs a step-by-step host oracle."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,7 @@ def _host_greedy_oracle(model, variables, batch, max_frames, max_steps):
     return mat
 
 
+@pytest.mark.slow
 def test_greedy_matches_host_oracle():
     model = tiny_model()
     batch = toy_batch(B=2, n_rows=2, chunk=64, S=8, seed=5)
@@ -77,6 +79,7 @@ def test_greedy_output_structure():
             assert (row[ends[0] + 1 :] == PAD_ID).all()
 
 
+@pytest.mark.slow
 def test_cached_greedy_matches_full():
     """KV-cached incremental decode must reproduce the full-prefix decode
     bit-for-bit (same argmax chain, same output matrix)."""
@@ -96,6 +99,7 @@ def test_cached_greedy_matches_full():
     np.testing.assert_array_equal(np.asarray(full_raw), np.asarray(cached_raw))
 
 
+@pytest.mark.slow
 def test_shared_memory_decode_matches_plain():
     """decode(..., cross_kvs) (the beam fast path) must match decode with
     the memory broadcast per hypothesis."""

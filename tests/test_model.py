@@ -55,6 +55,7 @@ def test_relative_to_absolute_against_naive():
             )
 
 
+@pytest.mark.slow
 def test_relative_bias_range_masking():
     """Out-of-range relative positions (|k-q| >= maxpos) get -1e8."""
     from emg_tpu.models.attention import LearnedRelativePositionalBias
@@ -96,6 +97,7 @@ def _torch_mha(q_in, k_in, v_in, w_q, w_k, w_v, w_o, key_pad=None, query_pad=Non
     return torch.einsum("bhta,haf->btf", o, w_o)
 
 
+@pytest.mark.slow
 def test_mha_matches_torch_oracle():
     B, T, D, H = 2, 9, 16, 4
     mha = MultiHeadAttention(D, H, dropout=0.0, relative_positional=False)
@@ -187,6 +189,7 @@ def _torch_resblock(x, p, stride):
     return F.relu(h + res)
 
 
+@pytest.mark.slow
 def test_resblock_matches_torch():
     from emg_tpu.models.resnet import ResBlock
 
@@ -228,6 +231,7 @@ def test_shift_rows():
 # Full model forward
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_model_forward_shapes():
     cfg = small_cfg()
     model = EMGModel(cfg)
@@ -255,6 +259,7 @@ def test_model_forward_shapes():
     assert np.isfinite(np.asarray(enc2)).all()
 
 
+@pytest.mark.slow
 def test_pad_embedding_row_is_zero():
     cfg = small_cfg()
     model = EMGModel(cfg)
@@ -279,6 +284,7 @@ def test_pad_embedding_row_is_zero():
     assert np.abs(emb_grad[5]).sum() > 0
 
 
+@pytest.mark.slow
 def test_conformer_encoder_variant():
     cfg = small_cfg(encoder_kind="conformer", conformer_conv_kernel_size=7)
     model = EMGModel(cfg)
@@ -299,6 +305,7 @@ def test_conformer_encoder_variant():
 # Losses vs torch
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_ctc_matches_torch():
     B, T, C, S = 3, 20, 44, 7
     logits = RNG.normal(size=(B, T, C)).astype(np.float32)
@@ -323,6 +330,7 @@ def test_ctc_matches_torch():
     assert ours == pytest.approx(ref, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_ctc_with_bucket_padding_matches_unpadded():
     B, T, C, S = 2, 16, 44, 6
     logits = RNG.normal(size=(B, T, C)).astype(np.float32)
@@ -360,6 +368,7 @@ def test_label_smoothing_matches_torch():
     assert ours == pytest.approx(ref, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_label_smoothing_bucket_padding_invariance():
     B, S, C = 2, 5, 43
     logits = RNG.normal(size=(B, S, C)).astype(np.float32)
@@ -379,6 +388,7 @@ def test_label_smoothing_bucket_padding_invariance():
     assert padded == pytest.approx(base, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_ctc_reduction_dispatch():
     """'sum' and invalid reductions behave correctly with a batch mask."""
     B, T, C, S = 2, 10, 44, 4

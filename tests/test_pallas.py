@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from emg_tpu.ops.pallas.flash_attention import flash_attention_bias, masked_bias
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(11)
 
 

@@ -59,6 +59,7 @@ def test_time_drop_zeroes_span():
     assert (np.diff(zero_rows) == 1).all()  # contiguous span
 
 
+@pytest.mark.slow
 def test_scheduled_sampling_step_descends():
     model = tiny_model()
     batch = toy_batch()

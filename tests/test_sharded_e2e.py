@@ -16,6 +16,8 @@ from emg_tpu.config import Config
 from emg_tpu.data import make_normalizers, make_synthetic_corpus
 from emg_tpu.decode.ngram import write_fixture_arpa
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg(root, data_axis, model_axis):
     paths = make_synthetic_corpus(str(root / "corpus"), n_sentences=6, seed=2)

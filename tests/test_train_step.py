@@ -77,6 +77,7 @@ def test_warmup_lr():
     assert float(warmup_lr(cfg, jnp.asarray(10_000))) == pytest.approx(3e-4)
 
 
+@pytest.mark.slow
 def test_accumulation_trigger(setup):
     model, cfg, state, batch = setup
     step = make_train_step(model, cfg, max_frames=16)
@@ -96,6 +97,7 @@ def test_accumulation_trigger(setup):
     assert float(jnp.abs(jax.tree.leaves(s2.accum_grads)[0]).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_toy_convergence(setup):
     model, cfg, state, batch = setup
     step = make_train_step(model, cfg, max_frames=16)
@@ -116,6 +118,7 @@ def test_eval_step_deterministic(setup):
     assert np.isfinite(float(m1["loss"]))
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8dev():
     """Full train step over a (4 data, 2 model) CPU mesh: shard params and
     batch, run two microbatches, verify an update applies and results stay
@@ -153,6 +156,7 @@ def test_sharded_train_step_8dev():
     assert len(wq.sharding.device_set) > 1
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_dtype():
     """bfloat16 transformer compute: train step runs and descends."""
     from emg_tpu.config import ModelConfig
@@ -183,6 +187,7 @@ def test_bfloat16_compute_dtype():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_remat_encoder_trains():
     from emg_tpu.config import ModelConfig
     from emg_tpu.models import EMGModel
