@@ -40,6 +40,10 @@ class ModelConfig:
     # rematerialize encoder layers on backward (jax.checkpoint): trades
     # recompute FLOPs for activation memory on large batches
     remat: bool = False
+    # decoder positional encoding: "per_position" (standard sinusoidal), or
+    # "reference_batch" replicating the reference's batch-axis PE indexing
+    # quirk (architecture.py:126-127) for converted-checkpoint bit parity
+    decoder_pe: str = "per_position"
 
 
 @dataclass

@@ -87,7 +87,10 @@ class EMGModel(nn.Module):
         self.embedding_tgt = nn.Embed(
             NUM_OUTS_DEC, c.model_size, embedding_init=nn.initializers.normal(1.0)
         )
-        self.pos_decoder = PositionalEncoding(c.model_size, c.dropout_pos_emb)
+        self.pos_decoder = PositionalEncoding(
+            c.model_size, c.dropout_pos_emb,
+            index_axis="batch" if c.decoder_pe == "reference_batch" else "position",
+        )
         self.transformerEncoder = encoder
         self.transformerDecoder = TransformerDecoder(
             num_layers=c.num_layers_decoder,
@@ -188,9 +191,13 @@ class EMGModel(nn.Module):
 
         x = self._embed_targets(token_ids)[:, None, :]  # (B, 1, D)
         pe = jnp.asarray(sinusoid_table(5000, self.cfg.model_size))
-        x = x + (1.0 / self.cfg.model_size) * jax.lax.dynamic_index_in_dim(
-            pe, step, axis=0, keepdims=True
-        )[None]
+        if self.cfg.decoder_pe == "reference_batch":
+            # constant pe[row] per batch row (see PositionalEncoding)
+            x = x + (1.0 / self.cfg.model_size) * pe[: x.shape[0]][:, None, :]
+        else:
+            x = x + (1.0 / self.cfg.model_size) * jax.lax.dynamic_index_in_dim(
+                pe, step, axis=0, keepdims=True
+            )[None]
         tokens_pad_mask = tokens == PAD_ID
         query_is_pad = token_ids == PAD_ID
         out, caches = self.transformerDecoder.decode_step(

@@ -63,12 +63,12 @@ class TransformerEncoderLayer(nn.Module):
             deterministic=deterministic,
         )
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         ff = FeedForward(self.d_model, self.d_ff, self.dropout, name="ff")(
             src, deterministic
         )
         src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm2")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
         return src
 
 
@@ -86,9 +86,9 @@ class TransformerDecoderLayer(nn.Module):
             self.d_model, self.num_heads, dropout=self.dropout, name="multihead_attn"
         )
         self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, name="ff")
-        self.norm1 = nn.LayerNorm(name="norm1")
-        self.norm2 = nn.LayerNorm(name="norm2")
-        self.norm3 = nn.LayerNorm(name="norm3")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(
