@@ -103,9 +103,7 @@ class DeviceBeamSearcher:
             cum0 = jnp.zeros((H,), jnp.float32)
             node0 = jnp.full((H,), self.root, jnp.int32)
             alive0 = jnp.zeros((H,), bool).at[0].set(True)
-            ctx0 = jnp.stack(
-                [jnp.full((H,), -1, jnp.int32),
-                 jnp.full((H,), lm.bos_id, jnp.int32)], axis=1)
+            ctx0 = lm.initial_ctx((H,))  # (H, order-1) oldest->newest
             runlm0 = jnp.zeros((H,), jnp.float32)
             chars0 = jnp.zeros((H,), jnp.int32)
             wc0 = jnp.zeros((H,), jnp.int32)
@@ -160,9 +158,7 @@ class DeviceBeamSearcher:
                 # finished hypotheses: score = mean(per-step probs) where the
                 # last step also carries the eos LM + final length penalty
                 ended = valid & (tok == end_tok)
-                eos_cond = lm.cond_logp(
-                    new_ctx[:, 0], new_ctx[:, 1], jnp.full((W,), lm.eos_id)
-                )
+                eos_cond = lm.cond_logp(new_ctx, jnp.full((W,), lm.eos_id))
                 fin_add = (new_runlm + eos_cond
                            + (new_chars.astype(jnp.float32) + 1.0) ** cfg.FinalLengthPenalty) * wt
                 fin_score = (new_cum + fin_add) / (t + 1).astype(jnp.float32)
@@ -198,7 +194,7 @@ class DeviceBeamSearcher:
                     has = active & (wid >= 0) & (new_wc < MW)
                     wid_s = jnp.maximum(wid, 0)
                     lm_w = lm.lex2lm[wid_s]
-                    cond_w = lm.cond_logp(new_ctx[:, 0], new_ctx[:, 1], lm_w)
+                    cond_w = lm.cond_logp(new_ctx, lm_w)
                     runlm_k = new_runlm + cond_w
                     chars_k = new_chars + lm.word_chars[wid_s] + jnp.where(new_wc > 0, 1, 0)
                     add = (runlm_k + (chars_k.astype(jnp.float32) + 1.0) ** cfg.RunningLengthPenalty) * wt
@@ -206,8 +202,7 @@ class DeviceBeamSearcher:
                     parts_cum.append(new_cum + add)
                     parts_node.append(jnp.full((W,), self.root, jnp.int32))
                     parts_alive.append(has)
-                    parts_ctx.append(
-                        jnp.stack([new_ctx[:, 1], lm_w], axis=1))
+                    parts_ctx.append(lm.shift_ctx(new_ctx, lm_w))
                     parts_runlm.append(runlm_k)
                     parts_chars.append(chars_k)
                     parts_wc.append(new_wc + 1)

@@ -52,13 +52,9 @@ def test_device_lm_cond_matches_python(setup):
         c1w, c2w, ww = (lex_words[c1i].lower(), lex_words[c2i].lower(),
                         lex_words[wi].lower())
         ref = lm._word_score([c1w, c2w], ww)
-        got = float(
-            dlm.cond_logp(
-                dlm.lex2lm[jnp.asarray([c1i])],
-                dlm.lex2lm[jnp.asarray([c2i])],
-                dlm.lex2lm[jnp.asarray([wi])],
-            )[0]
-        )
+        ctx = jnp.stack([dlm.lex2lm[jnp.asarray([c1i])],
+                         dlm.lex2lm[jnp.asarray([c2i])]], axis=-1)
+        got = float(dlm.cond_logp(ctx, dlm.lex2lm[jnp.asarray([wi])])[0])
         assert got == pytest.approx(ref, abs=1e-4), (c1w, c2w, ww)
 
 
@@ -66,13 +62,50 @@ def test_device_lm_bos_context(setup):
     compiled, lm, dlm, lex_words = setup
     for wi in range(0, len(lex_words), 5):
         ref = lm._word_score(["<s>"], lex_words[wi].lower())
-        got = float(
-            dlm.cond_logp(
-                jnp.asarray([-1]), jnp.asarray([dlm.bos_id]),
-                dlm.lex2lm[jnp.asarray([wi])],
-            )[0]
-        )
+        ctx = dlm.initial_ctx((1,))
+        got = float(dlm.cond_logp(ctx, dlm.lex2lm[jnp.asarray([wi])])[0])
         assert got == pytest.approx(ref, abs=1e-4), lex_words[wi]
+
+
+def test_device_lm_order4_matches_python(tmp_path):
+    """Order-N parity (VERDICT r1 item 5): a 4-gram ARPA from lm_train
+    scores identically on host and device at its full order, including
+    partial contexts and sequential shift_ctx accumulation."""
+    sents = ["the cat sat on the mat", "the dog ran to the cat",
+             "the cat ran home now", "a dog sat on a mat",
+             "we go to the moon", "the moon is cold and far"] * 2
+    p = tmp_path / "lm4.arpa"
+    write_arpa(train_arpa(sents, order=4), str(p))
+    lm = ArpaLanguageModel(str(p))
+    assert lm.order == 4
+    words = sorted({w for s in sents for w in s.split()}) + ["zzz"]
+    dlm = build_device_lm(lm, [w.upper() for w in words])
+    assert dlm.order == 4 and dlm.ctx_width == 3
+
+    rng = np.random.default_rng(7)
+    # random full and partial contexts
+    for _ in range(60):
+        k = int(rng.integers(0, 4))  # context length 0..3
+        ctx_i = [int(i) for i in rng.integers(0, len(words), size=k)]
+        wi = int(rng.integers(0, len(words)))
+        ref = lm._word_score([words[i] for i in ctx_i], words[wi])
+        ctx = np.full((1, 3), -1, np.int32)
+        for j, i in enumerate(ctx_i):
+            ctx[0, 3 - k + j] = int(dlm.lex2lm[i])
+        got = float(dlm.cond_logp(jnp.asarray(ctx), dlm.lex2lm[jnp.asarray([wi])])[0])
+        assert got == pytest.approx(ref, abs=1e-4), (ctx_i, wi)
+
+    # sentence accumulation through initial_ctx/shift_ctx equals lm.score
+    sent = "the cat sat on the mat"
+    ids = [words.index(w) for w in sent.split()]
+    ctx = dlm.initial_ctx((1,))
+    total = 0.0
+    for i in ids:
+        w = dlm.lex2lm[jnp.asarray([i])]
+        total += float(dlm.cond_logp(ctx, w)[0])
+        ctx = dlm.shift_ctx(ctx, w)
+    total += float(dlm.cond_logp(ctx, jnp.asarray([dlm.eos_id]))[0])
+    assert total == pytest.approx(lm.score(sent, bos=True, eos=True), abs=1e-3)
 
 
 def test_device_beam_matches_host(setup):
@@ -158,16 +191,15 @@ def test_search_many_matches_single(setup):
 
 
 def test_device_lm_large_vocab_keys():
-    """Pair/triple hash tables must handle LM vocabularies whose packed
-    keys would overflow int32 (regression for the key-packing scheme)."""
-    from emg_tpu.decode.device_lm import _build_pair_table, _build_triple_table
+    """Tuple hash tables must handle LM vocabularies whose packed keys
+    would overflow int32 (regression for the key-packing scheme)."""
+    from emg_tpu.decode.device_lm import _build_tuple_table
 
     big = 80_000  # > 46341, where id*id packing overflowed int32
-    k1 = np.asarray([big - 1, big - 2, 7], np.int64)
-    k2 = np.asarray([big - 3, 5, big - 4], np.int64)
-    t1, t2, tv, tb, size = _build_pair_table(k1, k2, [0.1, 0.2, 0.3], [0.0] * 3)
-    assert (t1 != -2).all()  # built without overflow
-    stored = {(int(a), int(b)) for a, b in zip(t1[t1 >= 0], t2[t1 >= 0])}
+    k1 = [big - 1, big - 2, 7]
+    k2 = [big - 3, 5, big - 4]
+    keys, tv, tb, size = _build_tuple_table([k1, k2], [0.1, 0.2, 0.3], [0.0] * 3)
+    stored = {tuple(int(x) for x in row) for row in keys if row[0] >= 0}
     assert (big - 1, big - 3) in stored
-    r1, r2, r3, rv, _ = _build_triple_table(k1, k2, k2, [0.1, 0.2, 0.3])
-    assert (r1 >= -1).all()
+    keys3, tv3, _, _ = _build_tuple_table([k1, k2, k2], [0.1, 0.2, 0.3], [0.0] * 3)
+    assert (keys3[:, 0] >= -1).all()
