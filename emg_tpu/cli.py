@@ -123,9 +123,10 @@ def evaluate_saved_beam_search(cfg: Config):
     lm = load_language_model(cfg.paths.lang_model)
     tt = TextTransform()
 
-    device_searchers = {}
-    host_searchers = {}
-    if cfg.decode.device_beam:
+    # the device beam needs lexicon constraints; unconstrained decodes fall
+    # back to the host searcher
+    use_device = cfg.decode.device_beam and cfg.decode.Constrained
+    if use_device:
         from emg_tpu.decode.device_beam import DeviceBeamSearcher
         from emg_tpu.decode.device_lm import build_device_lm
         from emg_tpu.decode.ngram import ArpaLanguageModel
@@ -138,31 +139,61 @@ def evaluate_saved_beam_search(cfg: Config):
         ]
         dlm = build_device_lm(py_lm, lex_words)
 
-    references, predictions = [], []
+    # pass 1: prepare every utterance and group by compiled geometry
+    prepared = []  # (pb, max_frames, target_len, target_text)
     for i in range(len(testset)):
         pb, max_frames, raw = _prepare_single(cfg, testset, i)
         target = raw["phonemes_int"][0][1:]
         target_len = int((target != 40).sum())
-        if cfg.decode.device_beam:
-            # one compiled searcher per (frames, step-cap) bucket
+        prepared.append((pb, max_frames, target_len, tt.clean_text(raw["text"][0])))
+
+    # pass 2: decode — batched per geometry group on the device path
+    words_by_idx = {}
+    if use_device:
+        device_searchers = {}
+        groups = {}
+        for i, (pb, max_frames, target_len, _) in enumerate(prepared):
             step_cap = 16 * ((target_len + cfg.decode.extra_steps + 15) // 16)
-            key = (max_frames, step_cap)
-            if key not in device_searchers:
-                device_searchers[key] = DeviceBeamSearcher(
+            key = (max_frames, step_cap, pb.packed_raw.shape[0],
+                   pb.targets.shape[1])
+            groups.setdefault(key, []).append(i)
+        CH = max(cfg.decode.batch_utterances, 1)
+        for (max_frames, step_cap, _, _), idxs in groups.items():
+            skey = (max_frames, step_cap)
+            if skey not in device_searchers:
+                device_searchers[skey] = DeviceBeamSearcher(
                     model, variables, compiled, dlm, cfg.decode, max_frames,
                     max_steps=step_cap,
                 )
-            searcher = device_searchers[key]
-        else:
+            searcher = device_searchers[skey]
+            for c0 in range(0, len(idxs), CH):
+                chunk = idxs[c0 : c0 + CH]
+                if len(chunk) == 1:
+                    pb, _, target_len, _ = prepared[chunk[0]]
+                    words_by_idx[chunk[0]] = searcher.search(pb, target_len)[2]
+                    continue
+                # pad to the launch size so each geometry compiles once
+                padded = chunk + [chunk[-1]] * (CH - len(chunk))
+                outs = searcher.search_many(
+                    [prepared[i][0] for i in padded],
+                    [prepared[i][2] for i in padded],
+                )
+                for i, out in zip(chunk, outs[: len(chunk)]):
+                    words_by_idx[i] = out[2]
+    else:
+        host_searchers = {}
+        for i, (pb, max_frames, target_len, _) in enumerate(prepared):
             # cache per frame bucket so jitted decode steps compile once
             if max_frames not in host_searchers:
                 host_searchers[max_frames] = BeamSearcher(
                     model, variables, compiled, lm, cfg.decode, max_frames
                 )
-            searcher = host_searchers[max_frames]
-        _, _, words = searcher.search(pb, target_len)
-        pred_text = tt.clean_text(" ".join(words))
-        target_text = tt.clean_text(raw["text"][0])
+            words_by_idx[i] = host_searchers[max_frames].search(pb, target_len)[2]
+
+    # pass 3: score + log in dataset order (reference log format)
+    references, predictions = [], []
+    for i, (_, _, _, target_text) in enumerate(prepared):
+        pred_text = tt.clean_text(" ".join(words_by_idx[i]))
         if len(target_text) != 0:
             references.append(target_text)
             predictions.append(pred_text)

@@ -120,9 +120,14 @@ class DecodeConfig:
     # maximum decode length in excess of the target length (reference uses +10)
     extra_steps: int = 10
     # run beam search as one device program (decode/device_beam.py: prefix
-    # tree + hash-table n-gram LM on device); the host searcher remains the
-    # float64 reference implementation
-    device_beam: bool = False
+    # tree + hash-table n-gram LM on device, ~14x faster per utterance than
+    # the host stepper). Default on; requires Constrained (unconstrained
+    # decodes fall back to the host searcher). --decode.device_beam=false is
+    # the escape hatch to the float64 host reference implementation.
+    device_beam: bool = True
+    # utterances decoded per device-beam launch (vmapped search_many);
+    # launches are padded to this size so each geometry compiles once
+    batch_utterances: int = 8
 
 
 @dataclass
