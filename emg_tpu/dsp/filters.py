@@ -222,10 +222,14 @@ def filtfilt(b, a, x: jnp.ndarray, padlen: Optional[int] = None) -> jnp.ndarray:
 def filtfilt_masked(b, a, x: jnp.ndarray, n, padlen: Optional[int] = None) -> jnp.ndarray:
     """filtfilt over the first ``n`` rows of a fixed-size (T_max, C) buffer.
 
-    ``n`` may be a traced scalar; the result has the same static shape as
-    ``x`` with rows [0, n) equal to scipy.signal.filtfilt of x[:n] and the
-    remaining rows unspecified. This lets one compiled kernel serve every
-    utterance in a length bucket.
+    ``n`` may be a traced scalar, or a traced (C,) vector giving an
+    independent valid length per column — the layout used to batch
+    unequal-length utterances by folding them onto the channel axis (the
+    IIR recurrence is causal and per-row independent, so one Pallas scan
+    call serves the whole fold; only these edge-extension/reversal gathers
+    are length-dependent). The result has the same static shape as ``x``
+    with rows [0, n) of each column equal to scipy.signal.filtfilt of that
+    column's x[:n]; the remaining rows are unspecified.
     """
     flt = _DeviceFilter(b, a)
     if padlen is None:
@@ -240,34 +244,61 @@ def filtfilt_masked(b, a, x: jnp.ndarray, n, padlen: Optional[int] = None) -> jn
     p = padlen
     Text = T + 2 * p
 
-    t = jnp.arange(Text, dtype=jnp.int32)
-    # extended-signal index map: odd extension left of 0 and right of n
-    #   t < p:          ext[t] = 2*x[0] - x[p - t]
-    #   p <= t < n+p:   ext[t] = x[t - p]
-    #   n+p <= t:       ext[t] = 2*x[n-1] - x[2n - 2 - (t - p)]
-    mid_idx = t - p
-    left_idx = p - t
-    right_idx = 2 * n - 2 - (t - p)
-    idx = jnp.where(t < p, left_idx, jnp.where(t < n + p, mid_idx, right_idx))
-    idx = jnp.clip(idx, 0, T - 1)
-    gathered = jnp.take(xf, idx, axis=0)
-    xn1 = jnp.take(xf, jnp.clip(n - 1, 0, T - 1), axis=0)
-    sign = jnp.where((t < p) | (t >= n + p), -1.0, 1.0)[:, None]
-    base = jnp.where(t[:, None] < p, 2.0 * xf[0][None, :],
-                     jnp.where(t[:, None] >= n + p, 2.0 * xn1[None, :], 0.0))
-    ext = base + sign * gathered
-    valid_len = n + 2 * p  # true extended length; positions beyond are junk
+    if n.ndim == 0:
+        t = jnp.arange(Text, dtype=jnp.int32)
+        # extended-signal index map: odd extension left of 0 and right of n
+        #   t < p:          ext[t] = 2*x[0] - x[p - t]
+        #   p <= t < n+p:   ext[t] = x[t - p]
+        #   n+p <= t:       ext[t] = 2*x[n-1] - x[2n - 2 - (t - p)]
+        mid_idx = t - p
+        left_idx = p - t
+        right_idx = 2 * n - 2 - (t - p)
+        idx = jnp.where(t < p, left_idx, jnp.where(t < n + p, mid_idx, right_idx))
+        idx = jnp.clip(idx, 0, T - 1)
+        gathered = jnp.take(xf, idx, axis=0)
+        xn1 = jnp.take(xf, jnp.clip(n - 1, 0, T - 1), axis=0)
+        sign = jnp.where((t < p) | (t >= n + p), -1.0, 1.0)[:, None]
+        base = jnp.where(t[:, None] < p, 2.0 * xf[0][None, :],
+                         jnp.where(t[:, None] >= n + p, 2.0 * xn1[None, :], 0.0))
+        ext = base + sign * gathered
+        valid_len = n + 2 * p  # true extended length; positions beyond are junk
+        rev_idx = jnp.clip(valid_len - 1 - t, 0, Text - 1)
+
+        def rev(arr):
+            return jnp.take(arr, rev_idx, axis=0)
+
+        first = lambda arr: arr[0]
+    else:
+        assert n.shape == (C,), f"per-column lengths must be ({C},), got {n.shape}"
+        t = jnp.arange(Text, dtype=jnp.int32)[:, None]  # (Text, 1) vs n (C,)
+        mid_idx = jnp.broadcast_to(t - p, (Text, C))
+        left_idx = jnp.broadcast_to(p - t, (Text, C))
+        right_idx = 2 * n[None, :] - 2 - (t - p)
+        idx = jnp.where(t < p, left_idx, jnp.where(t < n[None, :] + p, mid_idx, right_idx))
+        idx = jnp.clip(idx, 0, T - 1)
+        gathered = jnp.take_along_axis(xf, idx, axis=0)
+        xn1 = jnp.take_along_axis(xf, jnp.clip(n - 1, 0, T - 1)[None, :], axis=0)[0]
+        sign = jnp.where((t < p) | (t >= n[None, :] + p), -1.0, 1.0)
+        base = jnp.where(t < p, 2.0 * xf[0][None, :],
+                         jnp.where(t >= n[None, :] + p, 2.0 * xn1[None, :], 0.0))
+        ext = base + sign * gathered
+        valid_len = n + 2 * p  # (C,)
+        rev_idx = jnp.clip(valid_len[None, :] - 1 - t, 0, Text - 1)
+
+        def rev(arr):
+            return jnp.take_along_axis(arr, rev_idx, axis=0)
+
+        first = lambda arr: arr[0]
 
     zij = jnp.asarray(flt.zi_np, jnp.float32)
-    z0 = zij[None, :] * ext[0][:, None]
+    z0 = zij[None, :] * first(ext)[:, None]
     y = _lfilter_core(flt, ext, z0)  # causal: [0, valid_len) correct
 
     # reverse the first valid_len rows into the front of the buffer
-    rev_idx = jnp.clip(valid_len - 1 - t, 0, Text - 1)
-    y_rev = jnp.take(y, rev_idx, axis=0)
-    z0 = zij[None, :] * y_rev[0][:, None]
+    y_rev = rev(y)
+    z0 = zij[None, :] * first(y_rev)[:, None]
     y2 = _lfilter_core(flt, y_rev, z0)
-    y2_rev = jnp.take(y2, rev_idx, axis=0)
+    y2_rev = rev(y2)
 
     out = y2_rev[p : p + T]
     out = out.astype(dtype)

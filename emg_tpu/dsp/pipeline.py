@@ -81,6 +81,64 @@ def preprocess_emg(
     return Preprocessed(feats, emg, emg_orig, n_frames, n_feat, n_raw)
 
 
+@functools.partial(jax.jit, static_argnames=("remove_channels",))
+def preprocess_emg_batched(
+    xs: jnp.ndarray,
+    n_totals,
+    n_befores,
+    n_afters,
+    remove_channels: tuple = (),
+) -> Preprocessed:
+    """Filter + resample + featurize a batch of UNEQUAL-length utterances.
+
+    Args:
+      xs: (U, T_max, C) raw 1000 Hz EMG buffers, zero-padded per utterance.
+      n_totals / n_befores / n_afters: (U,) per-utterance sample counts.
+
+    The U utterances fold onto the channel axis — (T_max, U*C) — so the
+    sequential-carry IIR scan runs once over U*C*m independent rows instead
+    of a slow vmap over per-utterance calls; the length-dependent edge
+    extensions, reversals and resampling use per-column valid lengths
+    (filters.filtfilt_masked / resample.subsample_masked vector-n paths).
+    Featurization has no sequential carry, so it vmaps per utterance.
+    Returns a Preprocessed whose fields all carry a leading U axis.
+    """
+    U, T, C = xs.shape
+    n_totals = jnp.asarray(n_totals, jnp.int32)
+    n_befores = jnp.asarray(n_befores, jnp.int32)
+    n_afters = jnp.asarray(n_afters, jnp.int32)
+
+    folded = jnp.transpose(xs, (1, 0, 2)).reshape(T, U * C)
+    n_cols = jnp.repeat(n_totals, C)
+
+    y = filters.notch_harmonics(folded, 60.0, SOURCE_RATE, n=n_cols)
+    y = filters.remove_drift(y, SOURCE_RATE, n=n_cols)
+
+    # strip the neighbor context per column: shift rows up by n_before
+    idx = jnp.clip(
+        jnp.arange(T, dtype=jnp.int32)[:, None] + jnp.repeat(n_befores, C)[None, :],
+        0, T - 1,
+    )
+    y = jnp.take_along_axis(y, idx, axis=0)
+    n_mid = n_totals - n_befores - n_afters  # (U,)
+    n_mid_cols = jnp.repeat(n_mid, C)
+
+    emg_orig_f, n_raw_cols = subsample_masked(y, n_mid_cols, RAW_RATE, SOURCE_RATE)
+    emg_f, n_feat_cols = subsample_masked(y, n_mid_cols, FEAT_RATE, SOURCE_RATE)
+
+    emg_orig = jnp.transpose(emg_orig_f.reshape(-1, U, C), (1, 0, 2))  # (U, T', C)
+    emg = jnp.transpose(emg_f.reshape(-1, U, C), (1, 0, 2))
+    n_raw = n_raw_cols[::C]
+    n_feat = n_feat_cols[::C]
+
+    for c in remove_channels:
+        emg = emg.at[:, :, int(c)].set(0.0)
+        emg_orig = emg_orig.at[:, :, int(c)].set(0.0)
+
+    feats, n_frames = jax.vmap(get_emg_features_masked)(emg, n_feat)
+    return Preprocessed(feats, emg, emg_orig, n_frames, n_feat, n_raw)
+
+
 def align_lengths(n_frames: int):
     """The reference's post-featurization alignment (read_emg.py:88-93):
     emg keeps rows [6, 6+6*F), emg_orig keeps rows [8, 8+8*F)."""

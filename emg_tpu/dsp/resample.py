@@ -51,13 +51,22 @@ def subsample_masked(x: jnp.ndarray, n, new_freq: float, old_freq: float):
     pos = sample_times * np.float64(old_freq)
     i0_static = np.floor(pos).astype(np.int64)
     frac_static = (pos - i0_static).astype(np.float32)
-    i0 = jnp.clip(jnp.asarray(i0_static, jnp.int32), 0, n - 1)
-    i1 = jnp.clip(i0 + 1, 0, n - 1)
     frac = jnp.asarray(frac_static)
     # where i0 was clipped to n-1 the true position lies past the end;
     # with i0 == i1 == n-1 the lerp degenerates to x[n-1] regardless of frac
-    x0 = jnp.take(x, i0, axis=0)
-    x1 = jnp.take(x, i1, axis=0)
+    if n.ndim == 0:
+        i0 = jnp.clip(jnp.asarray(i0_static, jnp.int32), 0, n - 1)
+        i1 = jnp.clip(i0 + 1, 0, n - 1)
+        x0 = jnp.take(x, i0, axis=0)
+        x1 = jnp.take(x, i1, axis=0)
+    else:
+        # per-column valid lengths (unequal-length utterances folded onto
+        # the channel axis): (M, 1) grid broadcast against (C,) lengths
+        assert x.ndim == 2 and n.shape == (x.shape[1],)
+        i0 = jnp.clip(jnp.asarray(i0_static, jnp.int32)[:, None], 0, n[None, :] - 1)
+        i1 = jnp.clip(i0 + 1, 0, n[None, :] - 1)
+        x0 = jnp.take_along_axis(x, i0, axis=0)
+        x1 = jnp.take_along_axis(x, i1, axis=0)
     if x.ndim > 1:
         frac = frac.reshape((-1,) + (1,) * (x.ndim - 1))
     out = x0 + (x1 - x0) * frac

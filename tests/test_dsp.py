@@ -328,3 +328,103 @@ def test_preprocess_emg_host_matches_oracle():
     np.testing.assert_allclose(feats, ref_feats, rtol=5e-2, atol=5e-3)
     np.testing.assert_allclose(emg, ref_emg, rtol=5e-2, atol=5e-3)
     np.testing.assert_allclose(emg_orig, ref_orig, rtol=5e-2, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Unequal-length batched DSP (utterances folded onto the channel axis)
+# ---------------------------------------------------------------------------
+
+def test_filtfilt_masked_vector_lengths_match_scalar():
+    """Per-column lengths reproduce the per-utterance scalar path exactly."""
+    from emg_tpu.dsp.filters import filtfilt_masked
+
+    b, a = design_notch(60.0, 30.0, 1000.0)
+    T = 600
+    lens = [380, 600, 211]
+    x = np.zeros((T, 3), np.float32)
+    for c, n in enumerate(lens):
+        x[:n, c] = RNG.normal(size=n)
+    batched = np.asarray(
+        filtfilt_masked(b, a, jnp.asarray(x), jnp.asarray(lens, np.int32))
+    )
+    for c, n in enumerate(lens):
+        ref = np.asarray(filtfilt_masked(b, a, jnp.asarray(x[:, c : c + 1]), n))
+        np.testing.assert_allclose(batched[:n, c], ref[:n, 0], rtol=1e-4, atol=1e-5)
+
+
+def test_subsample_masked_vector_lengths_match_scalar():
+    from emg_tpu.dsp.resample import subsample_masked
+
+    T = 500
+    lens = [500, 333, 124]
+    x = np.zeros((T, 3), np.float32)
+    for c, n in enumerate(lens):
+        x[:n, c] = RNG.normal(size=n)
+    out_b, n_b = subsample_masked(jnp.asarray(x), jnp.asarray(lens, np.int32),
+                                  516.79, 1000.0)
+    for c, n in enumerate(lens):
+        out_s, n_s = subsample_masked(jnp.asarray(x[:, c : c + 1]), n, 516.79, 1000.0)
+        assert int(n_b[c]) == int(n_s)
+        m = int(n_s)
+        np.testing.assert_allclose(
+            np.asarray(out_b)[:m, c], np.asarray(out_s)[:m, 0], rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.slow
+def test_preprocess_emg_batched_matches_single():
+    """The folded batch pipeline equals per-utterance preprocess_emg for
+    unequal lengths (VERDICT r1 item 7: replaces the equal-length
+    channel-folding trick)."""
+    from emg_tpu.dsp.pipeline import preprocess_emg, preprocess_emg_batched
+
+    T = 1600
+    lens = [1600, 1100, 707]
+    U, C = len(lens), 8
+    xs = np.zeros((U, T, C), np.float32)
+    for u, n in enumerate(lens):
+        xs[u, :n] = 50 * RNG.normal(size=(n, C))
+    n_tot = np.asarray(lens, np.int32)
+    zeros = np.zeros(U, np.int32)
+
+    out_b = preprocess_emg_batched(jnp.asarray(xs), n_tot, zeros, zeros, ())
+    for u, n in enumerate(lens):
+        out_s = preprocess_emg(jnp.asarray(xs[u]), n, 0, 0, ())
+        assert int(out_b.n_frames[u]) == int(out_s.n_frames)
+        assert int(out_b.n_feat[u]) == int(out_s.n_feat)
+        assert int(out_b.n_raw[u]) == int(out_s.n_raw)
+        F = int(out_s.n_frames)
+        np.testing.assert_allclose(
+            np.asarray(out_b.emg_features[u])[:F],
+            np.asarray(out_s.emg_features)[:F], rtol=2e-3, atol=2e-4,
+        )
+        nr = int(out_s.n_raw)
+        np.testing.assert_allclose(
+            np.asarray(out_b.emg_orig[u])[:nr],
+            np.asarray(out_s.emg_orig)[:nr], rtol=2e-3, atol=2e-4,
+        )
+
+
+def test_preprocess_emg_batched_with_context():
+    """Neighbor-context stripping works per utterance in the batch."""
+    from emg_tpu.dsp.pipeline import preprocess_emg, preprocess_emg_batched
+
+    T = 900
+    specs = [(100, 600, 80), (0, 850, 0)]  # (before, mid, after)
+    U, C = len(specs), 4
+    xs = np.zeros((U, T, C), np.float32)
+    for u, (nb, nm, na) in enumerate(specs):
+        xs[u, : nb + nm + na] = 30 * RNG.normal(size=(nb + nm + na, C))
+    n_tot = np.asarray([sum(s) for s in specs], np.int32)
+    n_bef = np.asarray([s[0] for s in specs], np.int32)
+    n_aft = np.asarray([s[2] for s in specs], np.int32)
+
+    out_b = preprocess_emg_batched(jnp.asarray(xs), n_tot, n_bef, n_aft, ())
+    for u, (nb, nm, na) in enumerate(specs):
+        out_s = preprocess_emg(jnp.asarray(xs[u]), nb + nm + na, nb, na, ())
+        F = int(out_s.n_frames)
+        assert int(out_b.n_frames[u]) == F
+        np.testing.assert_allclose(
+            np.asarray(out_b.emg_features[u])[:F],
+            np.asarray(out_s.emg_features)[:F], rtol=2e-3, atol=2e-4,
+        )
