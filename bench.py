@@ -1,10 +1,16 @@
-"""End-to-end throughput benchmark: DSP featurization + encoder + greedy
-decode, utterances/sec on one chip.
+"""North-star benchmark on one chip (BASELINE.json metric list).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the ratio against an equivalent torch-CPU stack
-(benchmarks/torch_baseline.py), measured once and cached in
-bench_baseline.json.
+Measures, on realistic UNEQUAL-length utterances:
+  1. e2e_utterances_per_sec_per_chip — DSP featurization + encoder + greedy
+     decode (the primary metric; ``vs_baseline`` is the ratio against the
+     equivalent torch-CPU stack in benchmarks/torch_baseline.py).
+  2. beam_p50_ms — p50 latency of the lexicon-constrained device beam
+     search (BeamWidth 100, the reference BeamSearch.py:16 default).
+  3. train_utt_per_sec / train_mfu_pct — full jitted training-step
+     throughput (fwd+bwd+AdamW) in bfloat16 compute, with MFU from
+     analytic model FLOPs against the chip's bf16 peak.
+
+Prints ONE JSON line with all metrics.
 """
 
 import json
@@ -24,66 +30,124 @@ from emg_tpu.runtime import setup_compilation_cache  # noqa: E402
 
 setup_compilation_cache()
 
-from emg_tpu.config import ModelConfig  # noqa: E402
+from emg_tpu.config import DecodeConfig, ModelConfig, TrainConfig  # noqa: E402
 from emg_tpu.data.batching import PackedBatch  # noqa: E402
 from emg_tpu.decode.greedy import greedy_decode_cached  # noqa: E402
-from emg_tpu.dsp.pipeline import preprocess_emg  # noqa: E402
+from emg_tpu.dsp.pipeline import preprocess_emg_batched  # noqa: E402
 from emg_tpu.models import EMGModel  # noqa: E402
 
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
 
-N_UTTS = 8  # synthetic utterances per iteration
-UTT_SAMPLES = 2000  # 2 s at 1000 Hz
-MAX_STEPS = 40
+# unequal-length utterances (samples at 1000 Hz): 1.4 s .. 4.0 s — the
+# regime the reference's DynamicBatchSampler exists for (read_emg.py:144)
+UTT_SAMPLES = [1400, 1800, 2200, 2600, 3000, 3300, 3600, 4000]
+N_UTTS = len(UTT_SAMPLES)
 DSP_BUCKET = 4096
-MAX_FRAMES = 256
+MAX_STEPS = 40
+MAX_FRAMES = 512
+
+# bf16 peak matmul throughput per chip, by device_kind substring
+PEAK_BF16_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v5": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
 
 
-def synth_utterances(n, seed=0):
+def chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return peak
+    return 197e12  # assume v5e-class if unknown
+
+
+def synth_utterances(seed=0):
     rng = np.random.default_rng(seed)
-    t = np.arange(UTT_SAMPLES) / 1000.0
     utts = []
-    for i in range(n):
-        base = rng.normal(size=(UTT_SAMPLES, 8))
+    for n in UTT_SAMPLES:
+        t = np.arange(n) / 1000.0
+        base = rng.normal(size=(n, 8))
         hum = 0.5 * np.sin(2 * np.pi * 60 * t)[:, None]
         utts.append((120 * base + 20 * hum).astype(np.float32))
     return utts
 
 
-def build_tpu_pipeline():
-    cfg = ModelConfig()
-    model = EMGModel(cfg)
+def stack_utterances(utts):
+    raw_bufs = np.zeros((N_UTTS, DSP_BUCKET, 8), np.float32)
+    raw_ns = np.zeros((N_UTTS,), np.int32)
+    for i, u in enumerate(utts):
+        raw_bufs[i, : u.shape[0]] = u
+        raw_ns[i] = u.shape[0]
+    return raw_bufs, raw_ns
 
-    utts = synth_utterances(N_UTTS)
-    # figure out static geometry from one utterance
-    frames_per_utt = []
-    raw_lens = []
-    for u in utts:
-        buf = np.zeros((DSP_BUCKET, 8), np.float32)
-        buf[: u.shape[0]] = u
-        out = preprocess_emg(buf, u.shape[0], 0, 0, ())
-        F = int(out.n_frames)
-        frames_per_utt.append(F)
-        raw_lens.append(8 * F)
 
+def packed_geometry(frames):
+    """Static packing plan for per-utterance raw-path lengths 8*F."""
+    raw_lens = [8 * f for f in frames]
     total_raw = sum(raw_lens)
     n_rows = (total_raw + 1599) // 1600
     rows_b = 8 * ((n_rows + 7) // 8)
-    lengths = np.asarray(frames_per_utt, np.int32)
+    total_flat = rows_b * 1600
+    starts = np.concatenate([[0], np.cumsum(raw_lens)[:-1]])
+
+    # constant gather maps: packed flat slot -> (utterance, source row)
+    utt_idx = np.zeros(total_flat, np.int32)
+    src_idx = np.zeros(total_flat, np.int32)
+    valid = np.zeros(total_flat, bool)
+    for u, (s, L) in enumerate(zip(starts, raw_lens)):
+        utt_idx[s : s + L] = u
+        # reference alignment (read_emg.py:88-93): emg_orig rows [8, 8+8F)
+        src_idx[s : s + L] = 8 + np.arange(L)
+        valid[s : s + L] = True
+
+    lengths = np.asarray(frames, np.int32)
     offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
+    return dict(
+        n_rows=n_rows, rows_b=rows_b, total_flat=total_flat,
+        utt_idx=utt_idx, src_idx=src_idx, valid=valid,
+        lengths=lengths, offsets=offsets,
+    )
+
+
+def make_batch(geo, targets, target_lengths):
+    return PackedBatch(
+        packed_raw=np.zeros((geo["rows_b"], 1600, 8), np.float32),
+        n_rows=np.int32(geo["n_rows"]),
+        lengths=geo["lengths"],
+        offsets=geo["offsets"],
+        targets=targets,
+        target_lengths=target_lengths,
+        n_examples=np.int32(len(geo["lengths"])),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. greedy e2e: batched unequal-length DSP -> pack -> encode -> greedy
+# ---------------------------------------------------------------------------
+
+def build_greedy_pipeline():
+    cfg = ModelConfig()
+    model = EMGModel(cfg)
+
+    utts = synth_utterances()
+    raw_bufs, raw_ns = stack_utterances(utts)
+
+    # length-deterministic frame counts from one host run
+    probe = preprocess_emg_batched(jnp.asarray(raw_bufs), raw_ns,
+                                   np.zeros(N_UTTS, np.int32),
+                                   np.zeros(N_UTTS, np.int32), ())
+    frames = [int(f) for f in np.asarray(probe.n_frames)]
+    geo = packed_geometry(frames)
 
     S = MAX_STEPS + 1
     targets = np.full((N_UTTS, S), 42, np.int64)
-
-    batch_template = PackedBatch(
-        packed_raw=np.zeros((rows_b, 1600, 8), np.float32),
-        n_rows=np.int32(n_rows),
-        lengths=lengths,
-        offsets=offsets,
-        targets=targets,
-        target_lengths=np.full(N_UTTS, S, np.int32),
-        n_examples=np.int32(N_UTTS),
-    )
+    batch_template = make_batch(geo, targets, np.full(N_UTTS, S, np.int32))
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         batch_template.packed_raw, batch_template.n_rows,
@@ -91,53 +155,46 @@ def build_tpu_pipeline():
         jnp.asarray(targets[:, :-1]), MAX_FRAMES, False,
     )
 
-    @jax.jit
-    def featurize_all(raw_bufs, raw_ns):
-        """(U, T, 8) raw EMG -> per-utterance raw-path signals.
-
-        The filters are channel-independent, so equal-length utterances
-        fold into one (T, U*8) call — one kernel launch instead of a
-        vmap over the sequential-carry Pallas scan."""
-        U, T, C = raw_bufs.shape
-        folded = jnp.transpose(raw_bufs, (1, 0, 2)).reshape(T, U * C)
-        out = preprocess_emg(folded, raw_ns[0], 0, 0, ())
-        raw = jnp.transpose(
-            out.emg_orig.reshape(-1, U, C), (1, 0, 2)
-        )  # (U, T_raw, C)
-        raw = 50.0 * jnp.tanh(raw / 20.0 / 50.0)
-        return raw, jnp.broadcast_to(out.n_frames, (U,))
-
-    n_per = int(lengths[0]) * 8  # all synthetic utterances share one length
-    total_flat = rows_b * 1600
+    utt_idx = jnp.asarray(geo["utt_idx"])
+    src_idx = jnp.asarray(geo["src_idx"])
+    valid = jnp.asarray(geo["valid"])[:, None]
 
     @jax.jit
-    def pack_and_decode(variables, raws, batch):
-        # equal-length utterances: concatenate the raw paths and pad with
-        # the 42.0 fill to the packed row geometry
-        flat = raws[:, :n_per, :].reshape(-1, 8)
-        flat = jnp.concatenate(
-            [flat, jnp.full((total_flat - flat.shape[0], 8), 42.0, jnp.float32)], axis=0
+    def e2e(variables, raw_bufs, raw_ns, batch):
+        out = preprocess_emg_batched(
+            raw_bufs, raw_ns,
+            jnp.zeros((N_UTTS,), jnp.int32), jnp.zeros((N_UTTS,), jnp.int32), ()
         )
+        raw = 50.0 * jnp.tanh(out.emg_orig / 20.0 / 50.0)  # read_emg.py:426-428
+        flat = jnp.where(valid, raw[utt_idx, src_idx, :], 42.0)
         b = PackedBatch(
             packed_raw=flat.reshape(-1, 1600, 8), n_rows=batch.n_rows,
             lengths=batch.lengths, offsets=batch.offsets, targets=batch.targets,
             target_lengths=batch.target_lengths, n_examples=batch.n_examples,
         )
-        out, _ = greedy_decode_cached(model, variables, b, MAX_FRAMES, MAX_STEPS)
-        return out
+        dec, _ = greedy_decode_cached(model, variables, b, MAX_FRAMES, MAX_STEPS)
+        return dec
 
-    raw_bufs = np.zeros((N_UTTS, DSP_BUCKET, 8), np.float32)
-    raw_ns = np.zeros((N_UTTS,), np.int32)
-    for i, u in enumerate(utts):
-        raw_bufs[i, : u.shape[0]] = u
-        raw_ns[i] = u.shape[0]
+    raw_bufs_d = jnp.asarray(raw_bufs)
+    raw_ns_d = jnp.asarray(raw_ns)
 
     def run_once():
-        raws, _ = featurize_all(jnp.asarray(raw_bufs), jnp.asarray(raw_ns))
-        out = pack_and_decode(variables, raws, batch_template)
-        return out
+        return e2e(variables, raw_bufs_d, raw_ns_d, batch_template)
 
-    return run_once, utts
+    return run_once, utts, geo, model, variables
+
+
+def measure_greedy(run_once):
+    jax.block_until_ready(run_once())  # compile
+    iters = 8
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = run_once()
+        jax.block_until_ready(out)
+        best_dt = min(best_dt, time.time() - t0)
+    return N_UTTS * iters / best_dt
 
 
 def get_baseline(utts):
@@ -156,24 +213,174 @@ def get_baseline(utts):
         return None
 
 
-def main():
-    run_once, utts = build_tpu_pipeline()
-    out = run_once()
-    jax.block_until_ready(out)  # compile
+# ---------------------------------------------------------------------------
+# 2. beam p50: device beam search, BeamWidth 100, one utterance per launch
+# ---------------------------------------------------------------------------
 
-    # three measurement windows; report the best to damp relay jitter
-    iters = 8
+def measure_beam_p50(model, variables):
+    from emg_tpu.decode import ArpaLanguageModel, init_tree
+    from emg_tpu.decode.device_beam import DeviceBeamSearcher
+    from emg_tpu.decode.device_lm import build_device_lm
+    from emg_tpu.decode.lm_train import train_arpa, write_arpa
+    import tempfile
+
+    tree = init_tree(
+        os.path.join(FIXTURES, "phonesSet"),
+        os.path.join(FIXTURES, "vocabulary"),
+        os.path.join(FIXTURES, "lexicon.txt"),
+    )
+    compiled = tree.compile_tables()
+    sents = ["the cat sat", "the dog ran", "the cat ran home", "a dog sat",
+             "we go now", "the moon is cold"] * 2
+    with tempfile.TemporaryDirectory() as td:
+        arpa = os.path.join(td, "lm.arpa")
+        write_arpa(train_arpa(sents, order=3), arpa)
+        lm = ArpaLanguageModel(arpa)
+    lex_words = [
+        compiled.dictionary.lookup_word_by_index(i).name
+        for i in range(compiled.dictionary.word_count())
+    ]
+    dlm = build_device_lm(lm, lex_words)
+
+    # single ~2.2 s utterance geometry
+    utt = synth_utterances(seed=3)[2]
+    raw_bufs = np.zeros((1, DSP_BUCKET, 8), np.float32)
+    raw_bufs[0, : utt.shape[0]] = utt
+    probe = preprocess_emg_batched(
+        jnp.asarray(raw_bufs), np.asarray([utt.shape[0]], np.int32),
+        np.zeros(1, np.int32), np.zeros(1, np.int32), ())
+    F = int(probe.n_frames[0])
+    raw = 50.0 * np.tanh(np.asarray(probe.emg_orig)[0, 8 : 8 + 8 * F] / 20.0 / 50.0)
+    n_rows = (8 * F + 1599) // 1600
+    rows_b = 8 * ((n_rows + 7) // 8)
+    flat = np.full((rows_b * 1600, 8), 42.0, np.float32)
+    flat[: 8 * F] = raw
+    target_len = 20
+    S = 33
+    batch = PackedBatch(
+        packed_raw=flat.reshape(-1, 1600, 8), n_rows=np.int32(n_rows),
+        lengths=np.asarray([F], np.int32), offsets=np.zeros(1, np.int32),
+        targets=np.full((1, S), 42, np.int64),
+        target_lengths=np.asarray([S], np.int32), n_examples=np.int32(1),
+    )
+
+    cfg = DecodeConfig(BeamWidth=100)
+    searcher = DeviceBeamSearcher(
+        model, variables, compiled, dlm, cfg, MAX_FRAMES, max_steps=S - 1
+    )
+    searcher.search(batch, target_len)  # compile + warm
+    times = []
+    for _ in range(11):
+        t0 = time.time()
+        searcher.search(batch, target_len)
+        times.append(time.time() - t0)
+    return float(np.median(times) * 1000.0)
+
+
+# ---------------------------------------------------------------------------
+# 3. train step throughput + MFU (bfloat16 compute)
+# ---------------------------------------------------------------------------
+
+def analytic_fwd_flops(cfg: ModelConfig, rows, chunk, B, T, S, n_frames_total):
+    """Matmul/conv FLOPs of one forward pass (2*MACs), padded shapes."""
+    d, ff = cfg.model_size, cfg.feed_forward_layer_size
+    M = cfg.relative_distance
+
+    # ConvStack (resnet.py): 3 ResBlocks, stride 2 each, on packed rows
+    t1, t2, t3 = chunk // 2, chunk // 4, chunk // 8
+    conv = 0
+    conv += 2 * t1 * (3 * 8 * d) + 2 * t1 * (3 * d * d) + 2 * t1 * (8 * d)  # block0
+    conv += 2 * t2 * (3 * d * d) + 2 * t2 * (3 * d * d) + 2 * t2 * (d * d)  # block1
+    conv += 2 * t3 * (3 * d * d) + 2 * t3 * (3 * d * d) + 2 * t3 * (d * d)  # block2
+    conv *= rows
+    w_raw_in = 2 * n_frames_total * d * d
+
+    # encoder: 6 layers of MHA (+ learned rel-pos logits) and FFN
+    relw = min(2 * M - 1, 2 * T - 1)
+    enc_layer = (
+        8 * T * d * d          # q,k,v,o projections
+        + 4 * T * T * d        # scores + value contraction
+        + 2 * T * relw * d     # rel-pos logits einsum (positional.py)
+        + 4 * T * d * ff       # FFN
+    )
+    enc = cfg.num_layers_encoder * B * enc_layer
+
+    # decoder: self-attn over S, cross-attn over (S, T), FFN
+    dec_layer = (
+        8 * S * d * d + 4 * S * S * d            # self-attention
+        + 4 * S * d * d + 2 * 2 * T * d * d      # cross q/o + k/v projections
+        + 4 * S * T * d                          # cross scores + values
+        + 4 * S * d * ff
+    )
+    dec = cfg.num_layers_decoder * B * dec_layer
+
+    heads = 2 * B * T * d * 44 + 2 * B * S * d * 43
+    return conv + w_raw_in + enc + dec + heads
+
+
+def measure_train(geo):
+    from emg_tpu.parallel.train_step import make_train_step
+    from emg_tpu.train.state import create_train_state
+
+    cfg = ModelConfig(compute_dtype="bfloat16")
+    model = EMGModel(cfg)
+    rng = np.random.default_rng(0)
+    S = 48
+    tlens = np.minimum(12 + geo["lengths"] // 16, S).astype(np.int32)
+    targets = np.full((N_UTTS, S), 42, np.int64)
+    for i, L in enumerate(tlens):
+        targets[i, 0] = 41
+        targets[i, 1 : L - 1] = rng.integers(0, 40, L - 2)
+        targets[i, L - 1] = 40
+    batch = make_batch(geo, targets, tlens)
+    batch = PackedBatch(
+        packed_raw=rng.normal(size=batch.packed_raw.shape).astype(np.float32),
+        n_rows=batch.n_rows, lengths=batch.lengths, offsets=batch.offsets,
+        targets=batch.targets, target_lengths=batch.target_lengths,
+        n_examples=batch.n_examples,
+    )
+
+    tcfg = TrainConfig(batch_size_grad=N_UTTS)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        jnp.asarray(targets[:, :-1]), MAX_FRAMES, False,
+    )
+    state = create_train_state(variables["params"], variables["batch_stats"], tcfg)
+    step = make_train_step(model, tcfg, max_frames=MAX_FRAMES)
+    key = jax.random.PRNGKey(1)
+
+    state, _ = step(state, batch, key)  # compile
+    jax.block_until_ready(state.params)
+    iters = 10
     best_dt = float("inf")
     for _ in range(3):
+        # the step donates its input state, so keep chaining the live one
         t0 = time.time()
         for _ in range(iters):
-            out = run_once()
-        jax.block_until_ready(out)
+            state, _ = step(state, batch, key)
+        jax.block_until_ready(state.params)
         best_dt = min(best_dt, time.time() - t0)
-    utt_per_sec = N_UTTS * iters / best_dt
 
+    step_time = best_dt / iters
+    utt_per_sec = N_UTTS / step_time
+    fwd = analytic_fwd_flops(
+        cfg, rows=int(batch.packed_raw.shape[0]), chunk=1600, B=N_UTTS,
+        T=MAX_FRAMES, S=S - 1, n_frames_total=int(geo["lengths"].sum()),
+    )
+    mfu = 3.0 * fwd / step_time / chip_peak_flops()
+    return utt_per_sec, 3.0 * fwd / step_time / 1e12, mfu * 100.0
+
+
+def main():
+    run_once, utts, geo, model, variables = build_greedy_pipeline()
+    utt_per_sec = measure_greedy(run_once)
     baseline = get_baseline(utts)
     vs = (utt_per_sec / baseline) if baseline else 0.0
+
+    beam_p50 = measure_beam_p50(model, variables)
+    train_ups, train_tflops, mfu = measure_train(geo)
+
     print(
         json.dumps(
             {
@@ -181,6 +388,10 @@ def main():
                 "value": round(utt_per_sec, 2),
                 "unit": "utt/s",
                 "vs_baseline": round(vs, 2),
+                "beam_p50_ms": round(beam_p50, 2),
+                "train_utt_per_sec": round(train_ups, 2),
+                "train_model_tflops_per_sec": round(train_tflops, 2),
+                "train_mfu_pct": round(mfu, 2),
             }
         )
     )
