@@ -98,13 +98,22 @@ class _DeviceFilter:
         self.Vinv_i = jnp.asarray(np.imag(Vinv), jnp.float32)
 
 
-def _lfilter_core(flt: _DeviceFilter, x, z_init):
+def _lfilter_core(flt: _DeviceFilter, x, z_init, reverse: bool = False,
+                  inject_pos=None, inject_wr=None, inject_wi=None):
     """x: (T, C) float32; z_init: (C, m) float32 DF2T state. Returns (T, C).
 
     The recurrence runs in (C, m, T) layout — time in TPU lanes — because
     the state size m (2-3) would otherwise occupy the 128-wide lane
     dimension and waste ~50x HBM bandwidth. All arithmetic is split
     real/imaginary float32.
+
+    ``reverse=True`` runs the anti-causal mirror w[t] = lam w[t+1] + u[t]
+    (the zero-phase backward pass without reversing the data); it requires
+    ``z_init == 0`` — dynamic-position initial states enter through
+    ``inject_pos`` (a (C,) row index per column) with eigen-space values
+    ``inject_wr/wi`` (C, m), added to the scan input so that
+    w[inject_pos] == inject_w exactly (all u at and beyond inject_pos must
+    be zero, which the masked filtfilt guarantees).
     """
     from emg_tpu.dsp.recurrence import _hillis_steele_affine_last
 
@@ -113,6 +122,14 @@ def _lfilter_core(flt: _DeviceFilter, x, z_init):
     xt = x.T  # (C, T) float32
     ur = xt[:, None, :] * flt.w_in_r[None, :, None]  # (C, m, T)
     ui = xt[:, None, :] * flt.w_in_i[None, :, None]
+    if inject_pos is not None:
+        # dynamic-position state injection via broadcast-compare (no scatter)
+        hit = (
+            jnp.arange(T, dtype=jnp.int32)[None, None, :]
+            == inject_pos[:, None, None]
+        )
+        ur = jnp.where(hit, inject_wr[:, :, None], ur)
+        ui = jnp.where(hit, inject_wi[:, :, None], ui)
     # w_init = Vinv @ z_init (per channel): (C, m) complex, z_init real.
     # m is 2-3, so contract elementwise on the VPU — MXU matmuls default to
     # bfloat16, which the ill-conditioned eigenbasis amplifies badly.
@@ -124,8 +141,9 @@ def _lfilter_core(flt: _DeviceFilter, x, z_init):
     def pallas_path(ur, ui, w0_r, w0_i):
         # One HBM read/write with the in-chunk scan in VMEM (~400x the XLA
         # doubling scan on v5e). Rows are (channel, state) pairs, lanes are
-        # time; the tail is zero-padded to the block size (the scan is
-        # causal, so the padding never affects real outputs).
+        # time; the tail is zero-padded to the block size (the scan padding
+        # is zeros, so it never affects real outputs in either direction —
+        # anti-causal scans enter the data through a zero-state pad tail).
         from emg_tpu.ops.pallas.iir_scan import pick_block
 
         Tp0 = ((T + 511) // 512) * 512
@@ -136,14 +154,15 @@ def _lfilter_core(flt: _DeviceFilter, x, z_init):
         lam_r = jnp.broadcast_to(flt.lam_r[None, :], (C, m)).reshape(C * m)
         lam_i = jnp.broadcast_to(flt.lam_i[None, :], (C, m)).reshape(C * m)
         wr2, wi2 = iir_scan(
-            lam_r, lam_i, ur2, ui2, w0_r.reshape(C * m), w0_i.reshape(C * m), bt=bt
+            lam_r, lam_i, ur2, ui2, w0_r.reshape(C * m), w0_i.reshape(C * m),
+            bt=bt, reverse=reverse,
         )
         return wr2[:, :T].reshape(C, m, T), wi2[:, :T].reshape(C, m, T)
 
     def xla_path(ur, ui, w0_r, w0_i):
         lr = jnp.broadcast_to(flt.lam_r[None, :, None], (C, m, T))
         li = jnp.broadcast_to(flt.lam_i[None, :, None], (C, m, T))
-        pr, pi, br, bi = _hillis_steele_affine_last(lr, li, ur, ui)
+        pr, pi, br, bi = _hillis_steele_affine_last(lr, li, ur, ui, reverse=reverse)
         wr = pr * w0_r[:, :, None] - pi * w0_i[:, :, None] + br
         wi = pr * w0_i[:, :, None] + pi * w0_r[:, :, None] + bi
         return wr, wi
@@ -161,8 +180,12 @@ def _lfilter_core(flt: _DeviceFilter, x, z_init):
         wr * flt.c_out_r[None, :, None] - wi * flt.c_out_i[None, :, None], axis=1
     )
     z0_init = jnp.sum(w0_r * flt.c_out_r[None, :] - w0_i * flt.c_out_i[None, :], axis=1)
-    z0_prev = jnp.concatenate([z0_init[:, None], z0[:, :-1]], axis=1)
-    return flt.b0 * x + z0_prev.T
+    if reverse:
+        # y[t] = b0 x[t] + Re(c_out . w[t+1]); w[T] = z_init-state (zero)
+        z0_adj = jnp.concatenate([z0[:, 1:], z0_init[:, None]], axis=1)
+    else:
+        z0_adj = jnp.concatenate([z0_init[:, None], z0[:, :-1]], axis=1)
+    return flt.b0 * x + z0_adj.T
 
 
 def lfilter(b, a, x: jnp.ndarray, zi: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -225,11 +248,18 @@ def filtfilt_masked(b, a, x: jnp.ndarray, n, padlen: Optional[int] = None) -> jn
     ``n`` may be a traced scalar, or a traced (C,) vector giving an
     independent valid length per column — the layout used to batch
     unequal-length utterances by folding them onto the channel axis (the
-    IIR recurrence is causal and per-row independent, so one Pallas scan
-    call serves the whole fold; only these edge-extension/reversal gathers
-    are length-dependent). The result has the same static shape as ``x``
-    with rows [0, n) of each column equal to scipy.signal.filtfilt of that
+    IIR recurrence is per-row independent, so one Pallas scan call serves
+    the whole fold). The result has the same static shape as ``x`` with
+    rows [0, n) of each column equal to scipy.signal.filtfilt of that
     column's x[:n]; the remaining rows are unspecified.
+
+    Everything stays front-aligned: the backward pass runs as an
+    ANTI-CAUSAL scan (iir_scan reverse=True) on the forward output with its
+    junk tail zeroed and the scipy ``zi * y[valid-1]`` initial state
+    injected at the valid boundary — no full-height reversal or
+    odd-extension gathers (take_along_axis row gathers are ~per-element on
+    TPU and used to dominate the whole filter chain). Only O(padlen x C)
+    edge rows are gathered/scattered.
     """
     flt = _DeviceFilter(b, a)
     if padlen is None:
@@ -240,67 +270,49 @@ def filtfilt_masked(b, a, x: jnp.ndarray, n, padlen: Optional[int] = None) -> jn
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     T, C = xf.shape
-    n = jnp.asarray(n, jnp.int32)
     p = padlen
-    Text = T + 2 * p
+    if T <= p:
+        raise ValueError(f"input length {T} must exceed padlen {p}")
+    nv = jnp.broadcast_to(jnp.asarray(n, jnp.int32), (C,))
+    Text = T + 2 * p + 1  # +1 row so the state injection slot exists at n==T
 
-    if n.ndim == 0:
-        t = jnp.arange(Text, dtype=jnp.int32)
-        # extended-signal index map: odd extension left of 0 and right of n
-        #   t < p:          ext[t] = 2*x[0] - x[p - t]
-        #   p <= t < n+p:   ext[t] = x[t - p]
-        #   n+p <= t:       ext[t] = 2*x[n-1] - x[2n - 2 - (t - p)]
-        mid_idx = t - p
-        left_idx = p - t
-        right_idx = 2 * n - 2 - (t - p)
-        idx = jnp.where(t < p, left_idx, jnp.where(t < n + p, mid_idx, right_idx))
-        idx = jnp.clip(idx, 0, T - 1)
-        gathered = jnp.take(xf, idx, axis=0)
-        xn1 = jnp.take(xf, jnp.clip(n - 1, 0, T - 1), axis=0)
-        sign = jnp.where((t < p) | (t >= n + p), -1.0, 1.0)[:, None]
-        base = jnp.where(t[:, None] < p, 2.0 * xf[0][None, :],
-                         jnp.where(t[:, None] >= n + p, 2.0 * xn1[None, :], 0.0))
-        ext = base + sign * gathered
-        valid_len = n + 2 * p  # true extended length; positions beyond are junk
-        rev_idx = jnp.clip(valid_len - 1 - t, 0, Text - 1)
-
-        def rev(arr):
-            return jnp.take(arr, rev_idx, axis=0)
-
-        first = lambda arr: arr[0]
-    else:
-        assert n.shape == (C,), f"per-column lengths must be ({C},), got {n.shape}"
-        t = jnp.arange(Text, dtype=jnp.int32)[:, None]  # (Text, 1) vs n (C,)
-        mid_idx = jnp.broadcast_to(t - p, (Text, C))
-        left_idx = jnp.broadcast_to(p - t, (Text, C))
-        right_idx = 2 * n[None, :] - 2 - (t - p)
-        idx = jnp.where(t < p, left_idx, jnp.where(t < n[None, :] + p, mid_idx, right_idx))
-        idx = jnp.clip(idx, 0, T - 1)
-        gathered = jnp.take_along_axis(xf, idx, axis=0)
-        xn1 = jnp.take_along_axis(xf, jnp.clip(n - 1, 0, T - 1)[None, :], axis=0)[0]
-        sign = jnp.where((t < p) | (t >= n[None, :] + p), -1.0, 1.0)
-        base = jnp.where(t < p, 2.0 * xf[0][None, :],
-                         jnp.where(t >= n[None, :] + p, 2.0 * xn1[None, :], 0.0))
-        ext = base + sign * gathered
-        valid_len = n + 2 * p  # (C,)
-        rev_idx = jnp.clip(valid_len[None, :] - 1 - t, 0, Text - 1)
-
-        def rev(arr):
-            return jnp.take_along_axis(arr, rev_idx, axis=0)
-
-        first = lambda arr: arr[0]
+    # odd extension: the left edge is static; the right edge is p rows at
+    # dynamic positions [n+p, n+2p) per column. Dynamic-row gathers and
+    # scatters are ~per-element on TPU, so the edge rows are built and
+    # placed with broadcast-compare select/reduce passes instead (p extra
+    # elementwise passes over the buffer — bandwidth-trivial).
+    left = 2.0 * xf[0][None, :] - xf[1 : p + 1][::-1]
+    ext = jnp.concatenate([left, xf, jnp.zeros((p + 1, C), jnp.float32)], axis=0)
+    t_row = jnp.arange(T, dtype=jnp.int32)[:, None]  # (T, 1)
+    xn1 = jnp.sum(jnp.where(t_row == nv[None, :] - 1, xf, 0.0), axis=0)  # (C,)
+    t_idx = jnp.arange(Text, dtype=jnp.int32)[:, None]  # (Text, 1)
+    for j in range(p):
+        # ext[n+p+j] = 2*x[n-1] - x[n-2-j]
+        src_j = jnp.sum(jnp.where(t_row == nv[None, :] - 2 - j, xf, 0.0), axis=0)
+        ext = jnp.where(
+            t_idx == nv[None, :] + p + j,
+            (2.0 * xn1 - src_j)[None, :],
+            ext,
+        )
+    valid = nv + 2 * p  # (C,) true extended length; rows beyond are junk
 
     zij = jnp.asarray(flt.zi_np, jnp.float32)
-    z0 = zij[None, :] * first(ext)[:, None]
-    y = _lfilter_core(flt, ext, z0)  # causal: [0, valid_len) correct
+    z0 = zij[None, :] * ext[0][:, None]
+    y = _lfilter_core(flt, ext, z0)  # causal: rows [0, valid) correct
 
-    # reverse the first valid_len rows into the front of the buffer
-    y_rev = rev(y)
-    z0 = zij[None, :] * first(y_rev)[:, None]
-    y2 = _lfilter_core(flt, y_rev, z0)
-    y2_rev = rev(y2)
+    # backward pass: zero the junk tail, inject zi * y[valid-1] at row
+    # ``valid`` (u there and beyond is zero, so w[valid] equals it exactly)
+    yb = jnp.where(t_idx < valid[None, :], y, 0.0)
+    ylast = jnp.sum(jnp.where(t_idx == valid[None, :] - 1, y, 0.0), axis=0)  # (C,)
+    zb = zij[None, :] * ylast[:, None]  # (C, m) DF2T state
+    w_inj_r = jnp.sum(zb[:, None, :] * flt.Vinv_r[None, :, :], axis=2)
+    w_inj_i = jnp.sum(zb[:, None, :] * flt.Vinv_i[None, :, :], axis=2)
+    y2 = _lfilter_core(
+        flt, yb, jnp.zeros((C, flt.m), jnp.float32), reverse=True,
+        inject_pos=valid, inject_wr=w_inj_r, inject_wi=w_inj_i,
+    )
 
-    out = y2_rev[p : p + T]
+    out = y2[p : p + T]
     out = out.astype(dtype)
     return out[:, 0] if squeeze else out
 

@@ -103,7 +103,7 @@ def diagonal_recurrence_tlast(lam: jnp.ndarray, u: jnp.ndarray, w_init: jnp.ndar
     return jax.lax.complex(wr, wi)
 
 
-def _hillis_steele_affine_last(pr, pi, br, bi):
+def _hillis_steele_affine_last(pr, pi, br, bi, reverse: bool = False):
     """Inclusive scan of complex affine maps along the last axis, in split
     real/imaginary float32 arithmetic.
 
@@ -113,16 +113,25 @@ def _hillis_steele_affine_last(pr, pi, br, bi):
     rejects, and jit-fused complex arithmetic hits UNIMPLEMENTED Mosaic
     patterns — split-real shifted copies are native everywhere. Shifted-in
     elements use the identity map (P=1, B=0).
+
+    With ``reverse=True`` the scan runs right-to-left (anti-causal:
+    w[t] = lam * w[t+1] + u[t]), which lets zero-phase filtering's backward
+    pass run on front-aligned buffers without any reversal gathers.
     """
     T = pr.shape[-1]
     pad = [(0, 0)] * (pr.ndim - 1)
+    edge = (0, 1) if reverse else (1, 0)
     s = 1
     while s < T:
-        # previous cumulative at t-s; identity (1, 0) for t < s
-        pr_p = jnp.pad(pr, pad + [(s, 0)], constant_values=1.0)[..., :T]
-        pi_p = jnp.pad(pi, pad + [(s, 0)], constant_values=0.0)[..., :T]
-        br_p = jnp.pad(br, pad + [(s, 0)], constant_values=0.0)[..., :T]
-        bi_p = jnp.pad(bi, pad + [(s, 0)], constant_values=0.0)[..., :T]
+        # previous cumulative at t-s (t+s reversed); identity map shifts in
+        pr_p = jnp.pad(pr, pad + [tuple(e * s for e in edge)], constant_values=1.0)
+        pi_p = jnp.pad(pi, pad + [tuple(e * s for e in edge)], constant_values=0.0)
+        br_p = jnp.pad(br, pad + [tuple(e * s for e in edge)], constant_values=0.0)
+        bi_p = jnp.pad(bi, pad + [tuple(e * s for e in edge)], constant_values=0.0)
+        sl = slice(s, None) if reverse else slice(None, T)
+        pr_p, pi_p, br_p, bi_p = (
+            pr_p[..., sl], pi_p[..., sl], br_p[..., sl], bi_p[..., sl],
+        )
         # B = P * B_prev + B ; P = P * P_prev  (complex, expanded)
         br, bi = (
             pr * br_p - pi * bi_p + br,

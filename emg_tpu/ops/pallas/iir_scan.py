@@ -1,11 +1,14 @@
 """IIR diagonal-recurrence scan — Pallas TPU kernel.
 
 Computes w[t] = lam * w[t-1] + u[t] (complex, split real/imag) for the DSP
-front-end's eigenbasis filters. The XLA Hillis-Steele formulation
-materializes every doubling level in HBM (~log2 T full-array passes); this
-kernel blocks time into VMEM-resident chunks, runs the doubling scan on
-registers/VMEM, and carries the running state across the sequential TPU
-grid in scratch — one HBM read of u and one write of w total.
+front-end's eigenbasis filters — or, with ``reverse=True``, the anti-causal
+mirror w[t] = lam * w[t+1] + u[t], which lets zero-phase filtering's
+backward pass run on front-aligned buffers with no reversal gathers. The
+XLA Hillis-Steele formulation materializes every doubling level in HBM
+(~log2 T full-array passes); this kernel blocks time into VMEM-resident
+chunks, runs the doubling scan on registers/VMEM, and carries the running
+state across the sequential TPU grid in scratch — one HBM read of u and one
+write of w total.
 
 Layout: rows = C*m (channel-major state), lanes = time.
 """
@@ -36,9 +39,10 @@ def iir_scan_available() -> bool:
 
 
 def _kernel(lamr_ref, lami_ref, w0r_ref, w0i_ref, ur_ref, ui_ref,
-            wr_ref, wi_ref, carry_r, carry_i, *, bt):
-    """Grid: (T//bt,). Blocks: lam/w0 (R, 1) full; u/w (R, bt) per step.
-    carry_* are (R, 1) VMEM scratch persisting across grid steps."""
+            wr_ref, wi_ref, carry_r, carry_i, *, bt, reverse):
+    """Grid: (T//bt,). Blocks: lam/w0 (R, 1) full; u/w (R, bt) per step
+    (right-to-left when reverse). carry_* are (R, 1) VMEM scratch persisting
+    across grid steps."""
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -52,12 +56,16 @@ def _kernel(lamr_ref, lami_ref, w0r_ref, w0i_ref, ur_ref, ui_ref,
     br = ur_ref[:]
     bi = ui_ref[:]
 
+    # doubling combine: shift right (causal) or left (anti-causal)
+    edge = (0, 1) if reverse else (1, 0)
     s = 1
     while s < bt:
-        pr_p = jnp.pad(pr, ((0, 0), (s, 0)), constant_values=1.0)[:, :bt]
-        pi_p = jnp.pad(pi, ((0, 0), (s, 0)), constant_values=0.0)[:, :bt]
-        br_p = jnp.pad(br, ((0, 0), (s, 0)), constant_values=0.0)[:, :bt]
-        bi_p = jnp.pad(bi, ((0, 0), (s, 0)), constant_values=0.0)[:, :bt]
+        pads = ((0, 0), (edge[0] * s, edge[1] * s))
+        sl = slice(s, None) if reverse else slice(None, bt)
+        pr_p = jnp.pad(pr, pads, constant_values=1.0)[:, sl]
+        pi_p = jnp.pad(pi, pads, constant_values=0.0)[:, sl]
+        br_p = jnp.pad(br, pads, constant_values=0.0)[:, sl]
+        bi_p = jnp.pad(bi, pads, constant_values=0.0)[:, sl]
         br, bi = pr * br_p - pi * bi_p + br, pr * bi_p + pi * br_p + bi
         pr, pi = pr * pr_p - pi * pi_p, pr * pi_p + pi * pr_p
         s *= 2
@@ -68,8 +76,9 @@ def _kernel(lamr_ref, lami_ref, w0r_ref, w0i_ref, ur_ref, ui_ref,
     wi = pr * ci + pi * cr + bi
     wr_ref[:] = wr
     wi_ref[:] = wi
-    carry_r[:] = wr[:, bt - 1 :]
-    carry_i[:] = wi[:, bt - 1 :]
+    tap = slice(0, 1) if reverse else slice(bt - 1, bt)
+    carry_r[:] = wr[:, tap]
+    carry_i[:] = wi[:, tap]
 
 
 def pick_block(R: int, T: int, bt: int = 512) -> int:
@@ -83,10 +92,15 @@ def pick_block(R: int, T: int, bt: int = 512) -> int:
     return max(bt, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bt", "reverse", "interpret"))
 def iir_scan(lam_r, lam_i, u_r, u_i, w0_r, w0_i, bt: int = 512,
-             interpret: bool = False):
-    """Inputs: lam/w0 (R,), u (R, T). Returns (w_r, w_i) each (R, T)."""
+             reverse: bool = False, interpret: bool = False):
+    """Inputs: lam/w0 (R,), u (R, T). Returns (w_r, w_i) each (R, T).
+
+    ``reverse=False``: w[t] = lam w[t-1] + u[t], w[-1] = w0.
+    ``reverse=True``:  w[t] = lam w[t+1] + u[t], w[T] = w0 (blocks run
+    right-to-left; the carry taps each block's leftmost state).
+    """
     R, T = u_r.shape
     assert T % bt == 0, f"T={T} must be a multiple of block {bt}"
     lam_r = lam_r.reshape(R, 1)
@@ -94,15 +108,21 @@ def iir_scan(lam_r, lam_i, u_r, u_i, w0_r, w0_i, bt: int = 512,
     w0_r = w0_r.reshape(R, 1)
     w0_i = w0_i.reshape(R, 1)
 
-    grid = (T // bt,)
+    nb = T // bt
+    grid = (nb,)
     out_shape = [
         jax.ShapeDtypeStruct((R, T), jnp.float32),
         jax.ShapeDtypeStruct((R, T), jnp.float32),
     ]
     full = pl.BlockSpec((R, 1), lambda k: (0, 0), memory_space=pltpu.VMEM)
-    blocked = pl.BlockSpec((R, bt), lambda k: (0, k), memory_space=pltpu.VMEM)
+    if reverse:
+        blocked = pl.BlockSpec(
+            (R, bt), lambda k: (0, nb - 1 - k), memory_space=pltpu.VMEM
+        )
+    else:
+        blocked = pl.BlockSpec((R, bt), lambda k: (0, k), memory_space=pltpu.VMEM)
     wr, wi = pl.pallas_call(
-        functools.partial(_kernel, bt=bt),
+        functools.partial(_kernel, bt=bt, reverse=reverse),
         grid=grid,
         in_specs=[full, full, full, full, blocked, blocked],
         out_specs=[blocked, blocked],

@@ -71,6 +71,29 @@ def test_flash_relpos_matches_naive_interpret(T, maxpos):
         )
 
 
+def test_iir_scan_reverse_matches_flipped_causal():
+    """Anti-causal iir_scan (the gather-free zero-phase backward pass)
+    equals the causal scan run on time-reversed inputs, in interpret mode."""
+    from emg_tpu.ops.pallas.iir_scan import iir_scan
+
+    R, T, bt = 16, 1024, 256
+    lam_r = jnp.asarray(RNG.uniform(0.8, 0.999, R), jnp.float32)
+    lam_i = jnp.asarray(RNG.uniform(-0.3, 0.3, R), jnp.float32)
+    ur = jnp.asarray(RNG.normal(size=(R, T)), jnp.float32)
+    ui = jnp.asarray(RNG.normal(size=(R, T)), jnp.float32)
+    w0r = jnp.asarray(RNG.normal(size=(R,)), jnp.float32)
+    w0i = jnp.asarray(RNG.normal(size=(R,)), jnp.float32)
+
+    rev_r, rev_i = iir_scan(lam_r, lam_i, ur, ui, w0r, w0i, bt=bt,
+                            reverse=True, interpret=True)
+    fwd_r, fwd_i = iir_scan(lam_r, lam_i, ur[:, ::-1], ui[:, ::-1], w0r, w0i,
+                            bt=bt, interpret=True)
+    np.testing.assert_allclose(np.asarray(rev_r), np.asarray(fwd_r)[:, ::-1],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rev_i), np.asarray(fwd_i)[:, ::-1],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_model_flash_flag_matches_xla():
     """EMGModel with use_flash_attention produces (near-)identical encoder
     outputs to the XLA path (interpret-mode pallas on CPU)."""
