@@ -35,8 +35,11 @@ class ModelConfig:
     # compute dtype for the transformer stack ("bfloat16" or "float32")
     compute_dtype: str = "float32"
     # fuse encoder self-attention into the Pallas flash kernel on
-    # deterministic (serving) paths; training always uses the XLA path
-    use_flash_attention: bool = False
+    # deterministic (serving) paths; training always uses the XLA path.
+    # Self-gating: engages only on TPU with T a multiple of 256 and >= 512
+    # (the measured crossover), so CPU runs and short utterances fall back
+    # to the XLA formulation automatically.
+    use_flash_attention: bool = True
     # rematerialize encoder layers on backward (jax.checkpoint): trades
     # recompute FLOPs for activation memory on large batches
     remat: bool = False
