@@ -348,7 +348,7 @@ def measure_train(geo):
     )
     state = create_train_state(variables["params"], variables["batch_stats"], tcfg)
     step = make_train_step(model, tcfg, max_frames=MAX_FRAMES)
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl="rbg")  # matches Trainer's hardware-RNG keys
 
     state, _ = step(state, batch, key)  # compile
     jax.block_until_ready(state.params)

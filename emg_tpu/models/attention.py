@@ -135,7 +135,6 @@ class MultiHeadAttention(nn.Module):
         if (
             self.use_flash
             and self.relative_positional
-            and deterministic
             and not causal
             and q.shape[2] % 256 == 0
             and q.shape[2] >= 512  # measured crossover: 2.8x XLA at T=512,
@@ -143,6 +142,7 @@ class MultiHeadAttention(nn.Module):
         ):
             from emg_tpu.ops.pallas.flash_attention import (
                 flash_attention_relpos,
+                flash_attention_relpos_train,
                 flash_available,
             )
 
@@ -155,7 +155,18 @@ class MultiHeadAttention(nn.Module):
                     if key_padding_mask is not None
                     else jnp.zeros(q.shape[:1] + (k.shape[2],), bool)
                 )
-                o = flash_attention_relpos(q, k, v, used, oob, kp)
+                if deterministic:
+                    o = flash_attention_relpos(q, k, v, used, oob, kp)
+                else:
+                    # training twin: differentiable, with the reference's
+                    # post-softmax dropout applied inside the kernel (the
+                    # mask is a pure hash of (seed, b, h, query, key))
+                    seed = jax.random.bits(
+                        self.make_rng("dropout"), (), jnp.uint32
+                    ).astype(jnp.int32)
+                    o = flash_attention_relpos_train(
+                        q, k, v, used, oob, kp, self.dropout, seed
+                    )
                 return self.output(o)
 
         logits = jnp.einsum("bhqa,bhka->bhqk", q, k) / (self.head_dim ** 0.5)

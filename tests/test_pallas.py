@@ -71,6 +71,95 @@ def test_flash_relpos_matches_naive_interpret(T, maxpos):
         )
 
 
+def _window(table, maxpos, L):
+    """LearnedRelativePositionalBias.window() semantics (attention.py)."""
+    pad = max(L - maxpos, 0)
+    start = max(maxpos - L, 0)
+    padded = jnp.pad(jnp.asarray(table), ((0, 0), (pad, pad), (0, 0)))
+    used = jax.lax.dynamic_slice_in_dim(padded, start, 2 * L - 1, axis=1)
+    m = jnp.arange(2 * L - 1)
+    oob = jnp.where((m < pad) | (m >= 2 * L - 1 - pad), NEG_FILL, 0.0)
+    return used, oob
+
+
+def test_flash_train_matches_xla_grads_interpret():
+    """The differentiable training kernel (rate=0): forward and all four
+    gradients (q, k, v, rel-pos table) match the XLA formulation's autodiff
+    to float32 noise, in interpret mode."""
+    from emg_tpu.models.attention import relative_to_absolute
+    from emg_tpu.ops.pallas.flash_attention import flash_attention_relpos_train
+
+    B, H, T, Dh, maxpos = 2, 2, 512, 32, 100
+    q = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    k = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    v = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    table = jnp.asarray(RNG.normal(size=(H, 2 * maxpos - 1, Dh)) * 0.1,
+                        jnp.float32)
+    kp = jnp.zeros((B, T), bool).at[0, 500:].set(True)
+    w = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+
+    def naive_loss(q, k, v, table):
+        used, oob = _window(table, maxpos, T)
+        logits = jnp.einsum("bhqa,bhka->bhqk", q, k) / (Dh ** 0.5)
+        logits = jnp.where(kp[:, None, None, :], NEG_FILL, logits)
+        rel = jnp.einsum("bhld,hmd->bhlm", q, used) + oob[None, None, None, :]
+        logits = logits + relative_to_absolute(rel)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhka->bhqa", p, v) * w)
+
+    def flash_loss(q, k, v, table):
+        used, oob = _window(table, maxpos, T)
+        o = flash_attention_relpos_train(q, k, v, used, oob, kp, 0.0, 123,
+                                         interpret=True)
+        return jnp.sum(o * w)
+
+    gn = jax.grad(naive_loss, argnums=(0, 1, 2, 3))(q, k, v, table)
+    gf = jax.grad(flash_loss, argnums=(0, 1, 2, 3))(q, k, v, table)
+    np.testing.assert_allclose(float(naive_loss(q, k, v, table)),
+                               float(flash_loss(q, k, v, table)), rtol=1e-5)
+    for name, a, b in zip("qkvt", gn, gf):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, rtol=2e-4, atol=2e-5,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_flash_train_dropout_grad_finite_difference():
+    """With dropout active, the kernel's gradient must match a central
+    finite difference through the kernel itself: the hash-RNG keep mask is a
+    pure function of (seed, indices), so f is deterministic and smooth in q
+    at a fixed seed."""
+    from emg_tpu.ops.pallas.flash_attention import flash_attention_relpos_train
+
+    B, H, T, Dh, maxpos = 1, 2, 512, 16, 100
+    q = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    k = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    v = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    table = jnp.asarray(RNG.normal(size=(H, 2 * maxpos - 1, Dh)) * 0.1,
+                        jnp.float32)
+    kp = jnp.zeros((B, T), bool)
+    w = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    used, oob = _window(table, maxpos, T)
+
+    def loss(q, seed):
+        o = flash_attention_relpos_train(q, k, v, used, oob, kp, 0.1, seed,
+                                         interpret=True)
+        return jnp.sum(o * w)
+
+    g = jax.grad(loss)(q, 777)
+    direction = jnp.asarray(RNG.normal(size=q.shape), jnp.float32)
+    eps = 1e-3
+    fd = (float(loss(q + eps * direction, 777))
+          - float(loss(q - eps * direction, 777))) / (2 * eps)
+    analytic = float(jnp.sum(g * direction))
+    np.testing.assert_allclose(analytic, fd, rtol=5e-3)
+
+    # same seed reproduces the mask exactly; a different seed does not
+    assert float(loss(q, 777)) == float(loss(q, 777))
+    assert float(loss(q, 777)) != float(loss(q, 778))
+
+
 def test_iir_scan_reverse_matches_flipped_causal():
     """Anti-causal iir_scan (the gather-free zero-phase backward pass)
     equals the causal scan run on time-reversed inputs, in interpret mode."""
