@@ -156,7 +156,9 @@ class MultiHeadAttention(nn.Module):
                     else jnp.zeros(q.shape[:1] + (k.shape[2],), bool)
                 )
                 if deterministic:
+                    # kernel accumulates float32; return at the stream dtype
                     o = flash_attention_relpos(q, k, v, used, oob, kp)
+                    o = o.astype(query.dtype)
                 else:
                     # training twin: differentiable, with the reference's
                     # post-softmax dropout applied inside the kernel (the

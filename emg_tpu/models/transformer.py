@@ -31,10 +31,13 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        h = nn.Dense(self.d_ff, name="linear1")(x)
+        # dtype=x.dtype keeps the FFN matmuls at the compute dtype (flax
+        # Dense otherwise promotes bf16 inputs to the float32 param dtype,
+        # quietly running the hottest matmuls at the slow MXU rate)
+        h = nn.Dense(self.d_ff, name="linear1", dtype=x.dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, name="linear2", dtype=x.dtype)(h)
         return h
 
 
@@ -48,6 +51,11 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src, src_padding_mask, deterministic: bool):
+        # LayerNorm math stays float32 (f32 params; bf16 mean-of-squares is
+        # catastrophically lossy) but the stream returns to the compute
+        # dtype afterwards — without the cast the first post-norm upcast
+        # silently turns the whole stack float32
+        cdt = src.dtype
         attn = MultiHeadAttention(
             self.d_model,
             self.num_heads,
@@ -63,12 +71,12 @@ class TransformerEncoderLayer(nn.Module):
             deterministic=deterministic,
         )
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src).astype(cdt)
         ff = FeedForward(self.d_model, self.d_ff, self.dropout, name="ff")(
             src, deterministic
         )
         src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm2")(src).astype(cdt)
         return src
 
 
@@ -100,6 +108,7 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool,
         cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ):
+        cdt = tgt.dtype
         sa = self.self_attn(
             tgt, tgt, tgt,
             key_padding_mask=tgt_padding_mask,
@@ -108,7 +117,7 @@ class TransformerDecoderLayer(nn.Module):
             deterministic=deterministic,
         )
         tgt = tgt + self.drop(sa, deterministic=deterministic)
-        tgt = self.norm1(tgt)
+        tgt = self.norm1(tgt).astype(cdt)
 
         if cross_kv is None:
             ca = self.multihead_attn(
@@ -119,11 +128,11 @@ class TransformerDecoderLayer(nn.Module):
         else:
             ca = self._cross_shared(tgt, cross_kv, memory_padding_mask)
         tgt = tgt + self.drop(ca, deterministic=deterministic)
-        tgt = self.norm2(tgt)
+        tgt = self.norm2(tgt).astype(cdt)
 
         ffo = self.ff(tgt, deterministic)
         tgt = tgt + self.drop(ffo, deterministic=deterministic)
-        tgt = self.norm3(tgt)
+        tgt = self.norm3(tgt).astype(cdt)
         return tgt
 
     def _cross_shared(self, tgt, cross_kv, memory_padding_mask):
@@ -164,10 +173,11 @@ class TransformerDecoderLayer(nn.Module):
         self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_new, step, axis=2)
         self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_new, step, axis=2)
         valid = jnp.arange(S)[None, :] <= step  # causal over generated keys
+        cdt = x_tok.dtype
         sa = self.self_attn.attend_step(
             x_tok, self_k, self_v, valid, tokens_pad_mask, query_is_pad
         )
-        x = self.norm1(x_tok + sa)
+        x = self.norm1(x_tok + sa).astype(cdt)
 
         # cross-attention (no query masking, matching the reference)
         q = self.multihead_attn.project_q(x)
@@ -184,9 +194,9 @@ class TransformerDecoderLayer(nn.Module):
         else:
             o = jnp.einsum("bhqk,bhka->bhqa", probs, cross_v)
         ca = self.multihead_attn.output(o)
-        x = self.norm2(x + ca)
+        x = self.norm2(x + ca).astype(cdt)
 
-        x = self.norm3(x + self.ff(x, True))
+        x = self.norm3(x + self.ff(x, True)).astype(cdt)
         return x, self_k, self_v
 
 

@@ -103,8 +103,11 @@ def _kernel(q_ref, k_ref, v_ref, used_ref, oob_ref, kp_ref, o_ref, r_scratch,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # p @ v runs at the IO dtype (bf16 inputs -> full MXU rate); the
+        # accumulator stays float32 via preferred_element_type
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -129,10 +132,13 @@ def flash_attention_relpos(
     assert used.shape[:2] == (H, 2 * T - 1), used.shape
     scale = 1.0 / (Dh ** 0.5)
 
+    # bf16 inputs keep their dtype into the MXU dots (full matmul rate);
+    # everything else accumulates in float32 exactly as before
+    cdt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
     pad_r = (-(T - 1)) % 128
     Wpad = _round_up(2 * T - 1 + pad_r, 128)
     used_p = jnp.pad(
-        used.astype(jnp.float32), ((0, 0), (0, Wpad - (2 * T - 1)), (0, 0))
+        used.astype(cdt), ((0, 0), (0, Wpad - (2 * T - 1)), (0, 0))
     )
     oob_p = jnp.pad(
         oob.astype(jnp.float32), (0, Wpad - (2 * T - 1)), constant_values=NEG_FILL
@@ -170,7 +176,7 @@ def flash_attention_relpos(
             transcendentals=B * H * T * T,
         ),
     )(
-        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        q.astype(cdt), k.astype(cdt), v.astype(cdt),
         used_p, oob_p, kp,
     )
     return out
@@ -275,7 +281,8 @@ def _fwd_train_kernel(seed_ref, q_ref, k_ref, v_ref, used_ref, oob_ref,
         if rate > 0.0:
             p = p * _keep_mask(seed_ref[0], b_idx, h_idx, i, kb, bq, bk, rate)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -336,21 +343,23 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, used_ref, oob_ref, kp_ref,
             )
         ds = p * (dp - delta)
         dq_acc = dq_acc + jax.lax.dot_general(
-            ds, ks, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(ks.dtype), ks, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) * scale
         dr_scratch[:, pl.ds(coff, bk)] += ds
         return dq_acc
 
     dq_acc = jax.lax.fori_loop(0, T // bk, body, dq0)
     dR = _roll_rows(dr_scratch[:], -1, bq, pad_r)
+    dRc = dR.astype(q.dtype)
     dq_acc = dq_acc + jax.lax.dot_general(
-        dR, used_ref[:], (((1,), (0,)), ((), ())),
+        dRc, used_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dq_ref[:] = dq_acc
 
     du = jax.lax.dot_general(
-        dR, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dRc, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Wpad, Dh)
     first = (b_idx == 0) & (i == 0)
 
@@ -410,7 +419,8 @@ def _bwd_dkv_kernel(seed_ref, k_ref, v_ref, q_ref, used_ref, oob_ref, kp_ref,
         else:
             pd = p
         dv_acc = dv_acc + jax.lax.dot_general(
-            pd, dos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pd.astype(dos.dtype), dos, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             dos, vs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -419,7 +429,8 @@ def _bwd_dkv_kernel(seed_ref, k_ref, v_ref, q_ref, used_ref, oob_ref, kp_ref,
             dp = dp * (keep / keep_prob)
         ds = p * (dp - deltas)
         dk_acc = dk_acc + jax.lax.dot_general(
-            ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(qs.dtype), qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) * scale
         return dk_acc, dv_acc
 
@@ -428,11 +439,11 @@ def _bwd_dkv_kernel(seed_ref, k_ref, v_ref, q_ref, used_ref, oob_ref, kp_ref,
     dv_ref[:] = dv_acc
 
 
-def _prep_inputs(used, oob, key_pad, T):
+def _prep_inputs(used, oob, key_pad, T, cdt):
     pad_r = (-(T - 1)) % 128
     Wpad = _round_up(2 * T - 1 + pad_r, 128)
     used_p = jnp.pad(
-        used.astype(jnp.float32), ((0, 0), (0, Wpad - (2 * T - 1)), (0, 0))
+        used.astype(cdt), ((0, 0), (0, Wpad - (2 * T - 1)), (0, 0))
     )
     oob_p = jnp.pad(
         oob.astype(jnp.float32), (0, Wpad - (2 * T - 1)), constant_values=NEG_FILL
@@ -488,8 +499,7 @@ def _flash_train_fwd(rate, bq, bk, interpret, q, k, v, used_p, oob_p, kp, seed):
         ],
         scratch_shapes=[pltpu.VMEM((bq, Wpad), jnp.float32)],
         interpret=interpret,
-    )(seed_arr, q.astype(jnp.float32), k.astype(jnp.float32),
-      v.astype(jnp.float32), used_p, oob_p, kp)
+    )(seed_arr, q, k, v, used_p, oob_p, kp)
     return o, (q, k, v, used_p, oob_p, kp, seed_arr, o, lse)
 
 
@@ -499,12 +509,11 @@ def _flash_train_bwd(rate, bq, bk, interpret, res, g):
     Wpad = used_p.shape[1]
     pad_r = (-(T - 1)) % 128
     scale = 1.0 / (Dh ** 0.5)
-    do = g.astype(jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (B, H, T, 1)
-
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    delta = jnp.sum(g.astype(jnp.float32) * o, axis=-1, keepdims=True)
+    qf = q
+    kf = k
+    vf = v
+    do = g.astype(q.dtype)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     dq, dused = pl.pallas_call(
@@ -631,7 +640,8 @@ def flash_attention_relpos_train(
     B, H, T, Dh = q.shape
     assert T % bq == 0 and T % bk == 0, f"T={T} must tile by ({bq},{bk})"
     assert used.shape[:2] == (H, 2 * T - 1), used.shape
-    used_p, oob_p, kp, pad_r, Wpad = _prep_inputs(used, oob, key_pad, T)
+    cdt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    used_p, oob_p, kp, pad_r, Wpad = _prep_inputs(used, oob, key_pad, T, cdt)
     o = _flash_train(float(dropout_rate), bq, bk, interpret,
                      q, k, v, used_p, oob_p, kp, seed)
     return o.astype(q.dtype)
