@@ -208,9 +208,12 @@ def evaluate_saved_beam_search(cfg: Config):
 
 def train(cfg: Config):
     from emg_tpu.data.dataset import EMGDataset
+    from emg_tpu.parallel.distributed import initialize_distributed
     from emg_tpu.train.metrics_writer import MetricsWriter, default_log_dir
     from emg_tpu.train.trainer import Trainer
 
+    # multi-host: must run before anything touches the backend
+    initialize_distributed(cfg.parallel)
     trainset = EMGDataset(cfg, dev=False, test=False)
     devset = EMGDataset(cfg, dev=True)
     log.info("train / dev split: %d %d", len(trainset), len(devset))

@@ -140,6 +140,14 @@ class ParallelConfig:
     model_axis: int = 1
     # donate train-state buffers to the jitted step
     donate_state: bool = True
+    # multi-host (DCN) training: setting coordinator_address (host:port)
+    # runs jax.distributed.initialize before the first backend touch; the
+    # mesh then spans the GLOBAL device set and each process feeds its own
+    # batch shard (parallel/distributed.py). num_processes/process_id of -1
+    # mean "discover from the cluster environment" (TPU pod metadata).
+    coordinator_address: str = ""
+    num_processes: int = -1
+    process_id: int = -1
 
 
 @dataclass

@@ -46,13 +46,32 @@ def mesh_from_config(pcfg, devices: Optional[Sequence] = None) -> Optional[Mesh]
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a PackedBatch on the mesh per batch_pspec (leading dim = data)."""
+    """Place a PackedBatch on the mesh per batch_pspec (leading dim = data).
+
+    Under a multi-host (DCN) runtime every process builds the same global
+    batch; each contributes only its process-local block of the
+    data-sharded leading dims (mesh device order is process-major, so the
+    blocks are contiguous) and the globally-sharded arrays are assembled
+    with jax.make_array_from_process_local_data."""
     specs = batch_pspec()
+    from emg_tpu.data.batching import PackedBatch
+
+    if jax.process_count() > 1:
+        from emg_tpu.parallel.distributed import (
+            make_global_batch,
+            process_local_rows,
+        )
+
+        local = {}
+        for name, spec in specs.items():
+            v = np.asarray(getattr(batch, name))
+            if len(spec) > 0 and spec[0] == "data":
+                v = v[process_local_rows(v.shape[0])]
+            local[name] = v
+        return make_global_batch(PackedBatch(**local), mesh, specs)
 
     def place(name, value):
         return jax.device_put(value, NamedSharding(mesh, specs[name]))
-
-    from emg_tpu.data.batching import PackedBatch
 
     return PackedBatch(**{
         name: place(name, getattr(batch, name)) for name in specs

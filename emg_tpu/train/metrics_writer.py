@@ -48,6 +48,23 @@ class MetricsWriter:
         self._jsonl.close()
 
 
+class NullMetricsWriter:
+    """Drop-in no-op writer for non-primary processes in multi-host runs:
+    only process 0 owns the TensorBoard/metrics files (the scalars are
+    identical everywhere — the jitted steps reduce globally)."""
+
+    log_dir = ""
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def default_log_dir(base: str = "logs/run") -> str:
     import datetime
 

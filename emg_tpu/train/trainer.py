@@ -61,7 +61,16 @@ class Trainer:
         self.config = config
         self.trainset = trainset
         self.devset = devset
-        self.writer = writer
+        # multi-host: only process 0 writes metrics/TensorBoard files (the
+        # scalars are globally reduced inside jit, so they match everywhere)
+        from emg_tpu.parallel.distributed import is_primary
+
+        if is_primary():
+            self.writer = writer
+        else:
+            from emg_tpu.train.metrics_writer import NullMetricsWriter
+
+            self.writer = NullMetricsWriter()
         self.model = EMGModel(config.model)
         self._train_steps = {}
         self._eval_steps = {}
