@@ -69,22 +69,60 @@ class DeviceBeamSearcher:
         self._vsearch_fn = None
 
     # ------------------------------------------------------------------
-    def _build(self):
+    def _make_ctx(self, variables, batch: PackedBatch, max_len):
+        """Per-utterance search context: encoder memory projected into each
+        decoder layer's cross K/V, the source pad mask, and the step bound."""
+        model = self.model
+        memory, _, src_mask = model.apply(
+            variables,
+            batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+            self.max_frames, train=False, method=model.encode,
+        )
+        memory = memory[:1]
+        src_mask = src_mask[:1]
+        cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
+        return {"cross_kvs": cross_kvs, "src_mask": src_mask,
+                "max_len": jnp.asarray(max_len, jnp.int32)}
+
+    def _init_carry(self):
+        """Fresh per-utterance search state (the while-loop carry)."""
+        S, H, F, MW, W = self.S, self.H, self.F, self.MW, self.W
+        lm = self.lm
+        hist0 = jnp.full((H, S), 42, jnp.int32).at[:, 0].set(START_ID)
+        cum0 = jnp.zeros((H,), jnp.float32)
+        node0 = jnp.full((H,), self.root, jnp.int32)
+        alive0 = jnp.zeros((H,), bool).at[0].set(True)
+        ctx0 = lm.initial_ctx((H,))  # (H, order-1) oldest->newest
+        runlm0 = jnp.zeros((H,), jnp.float32)
+        chars0 = jnp.zeros((H,), jnp.int32)
+        wc0 = jnp.zeros((H,), jnp.int32)
+        words0 = jnp.full((H, MW), -1, jnp.int32)
+        fin_scores0 = jnp.full((F,), NEG, jnp.float32)
+        fin_hist0 = jnp.full((F, S), 42, jnp.int32)
+        fin_words0 = jnp.full((F, MW), -1, jnp.int32)
+        fin_wc0 = jnp.zeros((F,), jnp.int32)
+        caches0 = self.model.init_decode_cache(W, S)
+        return (jnp.int32(0), hist0, cum0, node0, alive0, ctx0, runlm0,
+                chars0, wc0, words0, fin_scores0, fin_hist0, fin_words0,
+                fin_wc0, caches0)
+
+    def _carry_done(self, sctx, carry):
+        """True once this search can make no further progress."""
+        t, alive = carry[0], carry[4]
+        return (t >= sctx["max_len"]) | (t >= self.S - 1) | ~jnp.any(alive)
+
+    def _step_fn(self):
+        """The per-step transition body(variables, sctx, carry) -> carry."""
         model, cfg, lm = self.model, self.cfg, self.lm
         S, W, K, H, F, MW = self.S, self.W, self.K, self.H, self.F, self.MW
         end_tok = self.phone_count
         wt = cfg.LMWeight
+        # expansion rows carry the same token history as their parent
+        # (row i's parent is i mod W), so only the first W rows need a
+        # decoder pass — a (1+K)x saving on the per-step transformer cost
+        parent = jnp.arange(H) % W
 
-        def search(variables, batch: PackedBatch, max_len):
-            memory, _, src_mask = model.apply(
-                variables,
-                batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
-                self.max_frames, train=False, method=model.encode,
-            )
-            memory = memory[:1]
-            src_mask = src_mask[:1]
-            cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
-
+        def body(variables, sctx, carry):
             def decode_lp(tokens, t, caches):
                 """One incremental decoder step over the W decode rows:
                 feeds the token at position t with cached K/V for positions
@@ -93,147 +131,127 @@ class DeviceBeamSearcher:
                     tokens, t, axis=1, keepdims=False
                 )
                 logits, caches = model.apply(
-                    variables, token_in, t, caches, cross_kvs, tokens, src_mask,
-                    method=model.decode_step,
+                    variables, token_in, t, caches, sctx["cross_kvs"], tokens,
+                    sctx["src_mask"], method=model.decode_step,
                 )
                 return jax.nn.log_softmax(logits[:, :-2], axis=-1), caches
 
-            # hypothesis state
-            hist0 = jnp.full((H, S), 42, jnp.int32).at[:, 0].set(START_ID)
-            cum0 = jnp.zeros((H,), jnp.float32)
-            node0 = jnp.full((H,), self.root, jnp.int32)
-            alive0 = jnp.zeros((H,), bool).at[0].set(True)
-            ctx0 = lm.initial_ctx((H,))  # (H, order-1) oldest->newest
-            runlm0 = jnp.zeros((H,), jnp.float32)
-            chars0 = jnp.zeros((H,), jnp.int32)
-            wc0 = jnp.zeros((H,), jnp.int32)
-            words0 = jnp.full((H, MW), -1, jnp.int32)
+            (t, hist, cum, node, alive, ctx, runlm, chars, wc, words,
+             fin_scores, fin_hist, fin_words, fin_wc, caches) = carry
 
-            fin_scores0 = jnp.full((F,), NEG, jnp.float32)
-            fin_hist0 = jnp.full((F, S), 42, jnp.int32)
-            fin_words0 = jnp.full((F, MW), -1, jnp.int32)
-            fin_wc0 = jnp.zeros((F,), jnp.int32)
+            step_lp_w, caches = decode_lp(hist[:W], t, caches)  # (W, 41)
+            step_lp = step_lp_w[parent]  # (H, 41)
+            full = cum[:, None] + step_lp + self.mask_table[node]
+            full = jnp.where(alive[:, None], full, NEG)
 
-            def cond(carry):
-                t = carry[0]
-                alive = carry[4]
-                return (t < max_len) & (t < S - 1) & jnp.any(alive)
+            vals, flat_idx = jax.lax.top_k(full.reshape(-1), W)
+            hsel = flat_idx // full.shape[1]
+            tok = (flat_idx % full.shape[1]).astype(jnp.int32)
+            valid = jnp.isfinite(vals)
 
-            # expansion rows carry the same token history as their parent
-            # (row i's parent is i mod W), so only the first W rows need a
-            # decoder pass — a (1+K)x saving on the per-step transformer cost
-            parent = jnp.arange(H) % W
-            caches0 = model.init_decode_cache(W, S)
+            new_cum = cum[hsel] + step_lp[hsel, tok]
+            new_hist = hist[hsel]
+            new_hist = jnp.where(
+                jnp.arange(S)[None, :] == (t + 1), tok[:, None], new_hist
+            )
+            new_node = jnp.where(
+                tok == end_tok,
+                node[hsel],
+                self.child_table[node[hsel], jnp.minimum(tok, self.phone_count - 1)],
+            )
+            new_ctx = ctx[hsel]
+            new_runlm = runlm[hsel]
+            new_chars = chars[hsel]
+            new_wc = wc[hsel]
+            new_words = words[hsel]
 
-            def body(carry):
-                (t, hist, cum, node, alive, ctx, runlm, chars, wc, words,
-                 fin_scores, fin_hist, fin_words, fin_wc, caches) = carry
+            # finished hypotheses: score = mean(per-step probs) where the
+            # last step also carries the eos LM + final length penalty
+            ended = valid & (tok == end_tok)
+            eos_cond = lm.cond_logp(new_ctx, jnp.full((W,), lm.eos_id))
+            fin_add = (new_runlm + eos_cond
+                       + (new_chars.astype(jnp.float32) + 1.0) ** cfg.FinalLengthPenalty) * wt
+            fin_score = (new_cum + fin_add) / (t + 1).astype(jnp.float32)
+            fin_score = jnp.where(ended, fin_score, NEG)
+            # merge into the finished buffer (top-F by score)
+            cat_scores = jnp.concatenate([fin_scores, fin_score])
+            cat_hist = jnp.concatenate([fin_hist, new_hist])
+            cat_words = jnp.concatenate([fin_words, new_words])
+            cat_wc = jnp.concatenate([fin_wc, new_wc])
+            top_scores, top_idx = jax.lax.top_k(cat_scores, F)
+            fin_scores = top_scores
+            fin_hist = cat_hist[top_idx]
+            fin_words = cat_words[top_idx]
+            fin_wc = cat_wc[top_idx]
 
-                step_lp_w, caches = decode_lp(hist[:W], t, caches)  # (W, 41)
-                step_lp = step_lp_w[parent]  # (H, 41)
-                full = cum[:, None] + step_lp + self.mask_table[node]
-                full = jnp.where(alive[:, None], full, NEG)
+            active = valid & ~ended
 
-                vals, flat_idx = jax.lax.top_k(full.reshape(-1), W)
-                hsel = flat_idx // full.shape[1]
-                tok = (flat_idx % full.shape[1]).astype(jnp.int32)
-                valid = jnp.isfinite(vals)
+            # word-boundary expansions: duplicate each active hypo once
+            # per word ending at its node, moved back to the root with
+            # the running LM + length-penalty addition
+            exp_words_ids = self.node_words[new_node]  # (W, K)
+            parts_hist = [new_hist]
+            parts_cum = [new_cum]
+            parts_node = [new_node]
+            parts_alive = [active]
+            parts_ctx = [new_ctx]
+            parts_runlm = [new_runlm]
+            parts_chars = [new_chars]
+            parts_wc = [new_wc]
+            parts_words = [new_words]
+            for k in range(K):
+                wid = exp_words_ids[:, k]  # lexicon word ids, -1 pad
+                has = active & (wid >= 0) & (new_wc < MW)
+                wid_s = jnp.maximum(wid, 0)
+                lm_w = lm.lex2lm[wid_s]
+                cond_w = lm.cond_logp(new_ctx, lm_w)
+                runlm_k = new_runlm + cond_w
+                chars_k = new_chars + lm.word_chars[wid_s] + jnp.where(new_wc > 0, 1, 0)
+                add = (runlm_k + (chars_k.astype(jnp.float32) + 1.0) ** cfg.RunningLengthPenalty) * wt
+                parts_hist.append(new_hist)
+                parts_cum.append(new_cum + add)
+                parts_node.append(jnp.full((W,), self.root, jnp.int32))
+                parts_alive.append(has)
+                parts_ctx.append(lm.shift_ctx(new_ctx, lm_w))
+                parts_runlm.append(runlm_k)
+                parts_chars.append(chars_k)
+                parts_wc.append(new_wc + 1)
+                w_upd = jnp.where(
+                    jnp.arange(MW)[None, :] == new_wc[:, None],
+                    wid_s[:, None], new_words)
+                parts_words.append(w_upd)
 
-                new_cum = cum[hsel] + step_lp[hsel, tok]
-                new_hist = hist[hsel]
-                new_hist = jnp.where(
-                    jnp.arange(S)[None, :] == (t + 1), tok[:, None], new_hist
-                )
-                new_node = jnp.where(
-                    tok == end_tok,
-                    node[hsel],
-                    self.child_table[node[hsel], jnp.minimum(tok, self.phone_count - 1)],
-                )
-                new_ctx = ctx[hsel]
-                new_runlm = runlm[hsel]
-                new_chars = chars[hsel]
-                new_wc = wc[hsel]
-                new_words = words[hsel]
+            hist = jnp.concatenate(parts_hist)
+            cum = jnp.concatenate(parts_cum)
+            node = jnp.concatenate(parts_node)
+            alive = jnp.concatenate(parts_alive)
+            ctx = jnp.concatenate(parts_ctx)
+            runlm = jnp.concatenate(parts_runlm)
+            chars = jnp.concatenate(parts_chars)
+            wc = jnp.concatenate(parts_wc)
+            words = jnp.concatenate(parts_words)
 
-                # finished hypotheses: score = mean(per-step probs) where the
-                # last step also carries the eos LM + final length penalty
-                ended = valid & (tok == end_tok)
-                eos_cond = lm.cond_logp(new_ctx, jnp.full((W,), lm.eos_id))
-                fin_add = (new_runlm + eos_cond
-                           + (new_chars.astype(jnp.float32) + 1.0) ** cfg.FinalLengthPenalty) * wt
-                fin_score = (new_cum + fin_add) / (t + 1).astype(jnp.float32)
-                fin_score = jnp.where(ended, fin_score, NEG)
-                # merge into the finished buffer (top-F by score)
-                cat_scores = jnp.concatenate([fin_scores, fin_score])
-                cat_hist = jnp.concatenate([fin_hist, new_hist])
-                cat_words = jnp.concatenate([fin_words, new_words])
-                cat_wc = jnp.concatenate([fin_wc, new_wc])
-                top_scores, top_idx = jax.lax.top_k(cat_scores, F)
-                fin_scores = top_scores
-                fin_hist = cat_hist[top_idx]
-                fin_words = cat_words[top_idx]
-                fin_wc = cat_wc[top_idx]
+            # re-align the K/V caches with the reordered decode rows:
+            # the selected hypothesis hsel's prefix K/V live in cache row
+            # hsel % W (expansion rows shared their parent's history)
+            cache_sel = hsel % W
+            caches = jax.tree.map(lambda c: c[cache_sel], caches)
 
-                active = valid & ~ended
+            return (t + 1, hist, cum, node, alive, ctx, runlm, chars, wc,
+                    words, fin_scores, fin_hist, fin_words, fin_wc, caches)
 
-                # word-boundary expansions: duplicate each active hypo once
-                # per word ending at its node, moved back to the root with
-                # the running LM + length-penalty addition
-                exp_words_ids = self.node_words[new_node]  # (W, K)
-                parts_hist = [new_hist]
-                parts_cum = [new_cum]
-                parts_node = [new_node]
-                parts_alive = [active]
-                parts_ctx = [new_ctx]
-                parts_runlm = [new_runlm]
-                parts_chars = [new_chars]
-                parts_wc = [new_wc]
-                parts_words = [new_words]
-                for k in range(K):
-                    wid = exp_words_ids[:, k]  # lexicon word ids, -1 pad
-                    has = active & (wid >= 0) & (new_wc < MW)
-                    wid_s = jnp.maximum(wid, 0)
-                    lm_w = lm.lex2lm[wid_s]
-                    cond_w = lm.cond_logp(new_ctx, lm_w)
-                    runlm_k = new_runlm + cond_w
-                    chars_k = new_chars + lm.word_chars[wid_s] + jnp.where(new_wc > 0, 1, 0)
-                    add = (runlm_k + (chars_k.astype(jnp.float32) + 1.0) ** cfg.RunningLengthPenalty) * wt
-                    parts_hist.append(new_hist)
-                    parts_cum.append(new_cum + add)
-                    parts_node.append(jnp.full((W,), self.root, jnp.int32))
-                    parts_alive.append(has)
-                    parts_ctx.append(lm.shift_ctx(new_ctx, lm_w))
-                    parts_runlm.append(runlm_k)
-                    parts_chars.append(chars_k)
-                    parts_wc.append(new_wc + 1)
-                    w_upd = jnp.where(
-                        jnp.arange(MW)[None, :] == new_wc[:, None],
-                        wid_s[:, None], new_words)
-                    parts_words.append(w_upd)
+        return body
 
-                hist = jnp.concatenate(parts_hist)
-                cum = jnp.concatenate(parts_cum)
-                node = jnp.concatenate(parts_node)
-                alive = jnp.concatenate(parts_alive)
-                ctx = jnp.concatenate(parts_ctx)
-                runlm = jnp.concatenate(parts_runlm)
-                chars = jnp.concatenate(parts_chars)
-                wc = jnp.concatenate(parts_wc)
-                words = jnp.concatenate(parts_words)
+    def _build(self):
+        body = self._step_fn()
 
-                # re-align the K/V caches with the reordered decode rows:
-                # the selected hypothesis hsel's prefix K/V live in cache row
-                # hsel % W (expansion rows shared their parent's history)
-                cache_sel = hsel % W
-                caches = jax.tree.map(lambda c: c[cache_sel], caches)
-
-                return (t + 1, hist, cum, node, alive, ctx, runlm, chars, wc,
-                        words, fin_scores, fin_hist, fin_words, fin_wc, caches)
-
-            init = (jnp.int32(0), hist0, cum0, node0, alive0, ctx0, runlm0,
-                    chars0, wc0, words0, fin_scores0, fin_hist0, fin_words0,
-                    fin_wc0, caches0)
-            out = jax.lax.while_loop(cond, body, init)
+        def search(variables, batch: PackedBatch, max_len):
+            sctx = self._make_ctx(variables, batch, max_len)
+            out = jax.lax.while_loop(
+                lambda c: ~self._carry_done(sctx, c),
+                lambda c: body(variables, sctx, c),
+                self._init_carry(),
+            )
             fin_scores, fin_hist, fin_words, fin_wc = out[10:14]
             return fin_scores, fin_hist, fin_words, fin_wc
 

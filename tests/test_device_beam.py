@@ -203,3 +203,39 @@ def test_device_lm_large_vocab_keys():
     assert (big - 1, big - 3) in stored
     keys3, tv3, _, _ = _build_tuple_table([k1, k2, k2], [0.1, 0.2, 0.3], [0.0] * 3)
     assert (keys3[:, 0] >= -1).all()
+
+
+def test_continuous_server_matches_single(setup):
+    """ContinuousBeamServer (chunked lane advancement with refill) returns
+    exactly what one-by-one search does, in request order, with more
+    requests than lanes so lane refill and mixed-progress lanes are
+    exercised."""
+    from emg_tpu.decode.continuous import ContinuousBeamServer
+
+    compiled, lm, dlm, lex_words = setup
+    model = tiny_model()
+    batches, lens = [], []
+    cfg = DecodeConfig(BeamWidth=8, extra_steps=6)
+    variables = None
+    for seed in (41, 42, 43, 44, 45):
+        b = toy_batch(B=1, n_rows=2, chunk=64, S=10, seed=seed)
+        if variables is None:
+            variables = model.init(
+                {"params": jax.random.PRNGKey(7)},
+                b.packed_raw, b.n_rows, b.offsets, b.lengths,
+                b.targets[:, :-1], 16, False,
+            )
+        batches.append(b)
+        lens.append(int((b.targets[0, 1:] != 40).sum()))
+    dev = DeviceBeamSearcher(model, variables, compiled, dlm, cfg, 16,
+                             max_steps=16)
+    singles = [dev.search(b, L) for b, L in zip(batches, lens)]
+
+    server = ContinuousBeamServer(dev, lanes=2, chunk=3)
+    served = server.serve(list(zip(batches, lens)))
+
+    assert len(served) == len(singles)
+    for (h1, s1, w1), (h2, s2, w2) in zip(singles, served):
+        assert list(h1) == list(h2)
+        assert w1 == w2
+        assert s1 == pytest.approx(s2, abs=1e-5)
