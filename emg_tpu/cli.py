@@ -166,6 +166,21 @@ def evaluate_saved_beam_search(cfg: Config):
                     max_steps=step_cap,
                 )
             searcher = device_searchers[skey]
+            if cfg.decode.continuous_lanes > 0 and len(idxs) > 1:
+                # continuous batching: one lane pool per geometry group,
+                # finished lanes refill from the group's queue immediately
+                from emg_tpu.decode.continuous import ContinuousBeamServer
+
+                server = ContinuousBeamServer(
+                    searcher,
+                    lanes=min(cfg.decode.continuous_lanes, len(idxs)),
+                )
+                outs = server.serve(
+                    [(prepared[i][0], prepared[i][2]) for i in idxs]
+                )
+                for i, out in zip(idxs, outs):
+                    words_by_idx[i] = out[2]
+                continue
             for c0 in range(0, len(idxs), CH):
                 chunk = idxs[c0 : c0 + CH]
                 if len(chunk) == 1:

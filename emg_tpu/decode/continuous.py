@@ -38,7 +38,7 @@ from emg_tpu.decode.device_beam import DeviceBeamSearcher
 
 class ContinuousBeamServer:
     def __init__(self, searcher: DeviceBeamSearcher, lanes: int = 8,
-                 chunk: int = 8):
+                 chunk: int = 16):
         """``lanes``: searches resident on device at once. ``chunk``: beam
         steps per advance launch — the refill latency granularity (smaller
         = faster refill, more launches)."""

@@ -121,3 +121,16 @@ def _leaves(tree):
     import jax
 
     return jax.tree.leaves(tree)
+
+
+def test_beam_eval_continuous_matches_batched(trained):
+    """--decode.continuous_lanes routes eval through the continuous-batching
+    server; the final WER must equal the lock-step batched path's."""
+    cfg, _ = trained
+    cfg.paths.evaluate_saved_beam_search = cfg.paths.output_directory
+    base = evaluate_saved_beam_search(cfg)
+    cfg.decode.continuous_lanes = 2
+    cont = evaluate_saved_beam_search(cfg)
+    cfg.decode.continuous_lanes = 0
+    cfg.paths.evaluate_saved_beam_search = None
+    assert cont == pytest.approx(base)
