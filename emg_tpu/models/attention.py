@@ -104,13 +104,32 @@ class MultiHeadAttention(nn.Module):
         self.drop = nn.Dropout(self.dropout)
 
     # -- projections (shared by both paths) --------------------------------
+    # k/v (and q/k/v for self-attention) always project the SAME input, so
+    # they fuse into one matmul over concatenated weight tensors: fewer,
+    # fatter MXU ops — which is what the op-dispatch-bound incremental
+    # decode loops (greedy/beam, ~hundreds of small ops per step) need. The
+    # parameters stay separate (w_q/w_k/w_v), matching the reference
+    # checkpoint layout; the concatenation is loop-invariant and hoisted.
     def project_q(self, x: jnp.ndarray) -> jnp.ndarray:
         return jnp.einsum("btf,hfa->bhta", x, jnp.asarray(self.w_q).astype(x.dtype))
 
     def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        k = jnp.einsum("btf,hfa->bhta", x, jnp.asarray(self.w_k).astype(x.dtype))
-        v = jnp.einsum("btf,hfa->bhta", x, jnp.asarray(self.w_v).astype(x.dtype))
-        return k, v
+        w = jnp.concatenate(
+            [jnp.asarray(self.w_k), jnp.asarray(self.w_v)], axis=0
+        ).astype(x.dtype)  # (2H, D, Dh)
+        kv = jnp.einsum("btf,hfa->bhta", x, w)
+        return kv[:, : self.num_heads], kv[:, self.num_heads :]
+
+    def project_qkv(
+        self, x: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        w = jnp.concatenate(
+            [jnp.asarray(self.w_q), jnp.asarray(self.w_k), jnp.asarray(self.w_v)],
+            axis=0,
+        ).astype(x.dtype)  # (3H, D, Dh)
+        qkv = jnp.einsum("btf,hfa->bhta", x, w)
+        H = self.num_heads
+        return qkv[:, :H], qkv[:, H : 2 * H], qkv[:, 2 * H :]
 
     def output(self, o: jnp.ndarray) -> jnp.ndarray:
         return jnp.einsum("bhta,haf->btf", o, jnp.asarray(self.w_o).astype(o.dtype))
@@ -127,8 +146,11 @@ class MultiHeadAttention(nn.Module):
         causal: bool = False,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        q = self.project_q(query)
-        k, v = self.project_kv(key)
+        if key is query:  # self-attention: one fused projection matmul
+            q, k, v = self.project_qkv(query)
+        else:
+            q = self.project_q(query)
+            k, v = self.project_kv(key)
         if value is not key:  # not used by this architecture, kept for API
             _, v = self.project_kv(value)
 
@@ -202,13 +224,16 @@ class MultiHeadAttention(nn.Module):
         #                           logit values below)
         pad_mask: jnp.ndarray,  # (B, S) True where key is a PAD token
         query_is_pad: jnp.ndarray,  # (B,) current token is PAD
+        q: Optional[jnp.ndarray] = None,  # pre-projected (B, H, 1, Dh), e.g.
+        #                                    from a fused project_qkv call
     ) -> jnp.ndarray:
         """One-token attention over cached keys/values. Masking reproduces
         the reference's full-prefix semantics exactly: keys not yet
         generated are structurally excluded (-inf -> probability 0), PAD
         keys and PAD queries are set to -1e8 (softmax ties, as in the
         reference's masked_fill)."""
-        q = self.project_q(q_tok)  # (B, H, 1, Dh)
+        if q is None:
+            q = self.project_q(q_tok)  # (B, H, 1, Dh)
         logits = jnp.einsum("bhqa,bhka->bhqk", q, k_cache) / (self.head_dim ** 0.5)
         logits = jnp.where(pad_mask[:, None, None, :], NEG_FILL, logits)
         logits = jnp.where(query_is_pad[:, None, None, None], NEG_FILL, logits)

@@ -169,13 +169,15 @@ class TransformerDecoderLayer(nn.Module):
     ):
         B, _, D = x_tok.shape
         S = self_k.shape[2]
-        k_new, v_new = self.self_attn.project_kv(x_tok)  # (B, H, 1, Dh)
+        # one fused matmul projects the token's q, k, v together
+        q_new, k_new, v_new = self.self_attn.project_qkv(x_tok)  # (B, H, 1, Dh)
         self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_new, step, axis=2)
         self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_new, step, axis=2)
         valid = jnp.arange(S)[None, :] <= step  # causal over generated keys
         cdt = x_tok.dtype
         sa = self.self_attn.attend_step(
-            x_tok, self_k, self_v, valid, tokens_pad_mask, query_is_pad
+            x_tok, self_k, self_v, valid, tokens_pad_mask, query_is_pad,
+            q=q_new,
         )
         x = self.norm1(x_tok + sa).astype(cdt)
 
