@@ -125,6 +125,39 @@ def test_flash_train_matches_xla_grads_interpret():
         )
 
 
+def test_flash_train_bf16_io_close_to_f32():
+    """bf16 inputs route the kernels' MXU dots at the IO dtype with float32
+    accumulators; outputs and gradients must stay within bf16 resolution of
+    the f32 kernel and remain finite end to end."""
+    from emg_tpu.ops.pallas.flash_attention import flash_attention_relpos_train
+
+    B, H, T, Dh, maxpos = 1, 2, 512, 32, 100
+    q = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    k = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    v = jnp.asarray(RNG.normal(size=(B, H, T, Dh)), jnp.float32)
+    table = jnp.asarray(RNG.normal(size=(H, 2 * maxpos - 1, Dh)) * 0.1,
+                        jnp.float32)
+    kp = jnp.zeros((B, T), bool)
+    used, oob = _window(table, maxpos, T)
+
+    o32 = flash_attention_relpos_train(q, k, v, used, oob, kp, 0.0, 1,
+                                       interpret=True)
+    ob = flash_attention_relpos_train(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), used.astype(jnp.bfloat16), oob, kp, 0.0, 1,
+        interpret=True,
+    )
+    diff = float(jnp.max(jnp.abs(o32 - ob.astype(jnp.float32))))
+    assert diff < 0.05, diff  # bf16 mantissa noise, not a broken path
+
+    g = jax.grad(lambda qq: flash_attention_relpos_train(
+        qq, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        used.astype(jnp.bfloat16), oob, kp, 0.1, 7, interpret=True,
+    ).astype(jnp.float32).sum())(q.astype(jnp.bfloat16))
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
 def test_flash_train_dropout_grad_finite_difference():
     """With dropout active, the kernel's gradient must match a central
     finite difference through the kernel itself: the hash-RNG keep mask is a
