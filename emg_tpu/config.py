@@ -34,11 +34,16 @@ class ModelConfig:
     num_channels: int = 8
     # compute dtype for the transformer stack ("bfloat16" or "float32")
     compute_dtype: str = "float32"
-    # fuse encoder self-attention into the Pallas flash kernel on
-    # deterministic (serving) paths; training always uses the XLA path.
-    # Self-gating: engages only on TPU with T a multiple of 256 and >= 512
-    # (the measured crossover), so CPU runs and short utterances fall back
-    # to the XLA formulation automatically.
+    # fuse encoder self-attention into the Pallas flash kernel on BOTH
+    # serving and training paths (the training twin has custom_vjp
+    # backward kernels with in-kernel hash-RNG dropout). NOTE: with this
+    # on, training numerics differ slightly from the XLA path — the
+    # dropout mask stream is a hash of (seed, b, h, q, k) rather than the
+    # XLA threefry draw, and the kernel accumulates in float32 where XLA
+    # autodiff may fuse differently; set False for XLA-path training
+    # numerics. Self-gating: engages only on TPU with T a multiple of 256
+    # and >= 512 (the measured crossover), so CPU runs and short
+    # utterances fall back to the XLA formulation automatically.
     use_flash_attention: bool = True
     # rematerialize encoder layers on backward (jax.checkpoint): trades
     # recompute FLOPs for activation memory on large batches

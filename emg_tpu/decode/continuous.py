@@ -124,10 +124,10 @@ class ContinuousBeamServer:
             if not finished:
                 continue
             # pull the finished lanes' result buffers (small arrays)
-            fin_scores = np.asarray(carrys[10])
-            fin_hist = np.asarray(carrys[11])
-            fin_words = np.asarray(carrys[12])
-            fin_wc = np.asarray(carrys[13])
+            fin_scores = np.asarray(carrys[DeviceBeamSearcher.SLOT_FIN_SCORES])
+            fin_hist = np.asarray(carrys[DeviceBeamSearcher.SLOT_FIN_HIST])
+            fin_words = np.asarray(carrys[DeviceBeamSearcher.SLOT_FIN_WORDS])
+            fin_wc = np.asarray(carrys[DeviceBeamSearcher.SLOT_FIN_WC])
             for lane in finished:
                 req = lane_req[lane]
                 results[req] = searcher._format(

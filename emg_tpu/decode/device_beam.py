@@ -32,6 +32,17 @@ NEG = -jnp.inf
 
 
 class DeviceBeamSearcher:
+    # Carry-tuple slot layout, kept in sync with _init_carry/_step_fn.
+    # External consumers (continuous.py) must index through these names.
+    SLOT_T = 0
+    SLOT_ALIVE = 4
+    SLOT_FIN_SCORES = 10
+    SLOT_FIN_HIST = 11
+    SLOT_FIN_WORDS = 12
+    SLOT_FIN_WC = 13
+    SLOT_CACHES = 14
+    FINISHED_SLOTS = slice(SLOT_FIN_SCORES, SLOT_FIN_WC + 1)
+
     def __init__(self, model, variables, tree: CompiledTree, device_lm: DeviceLM,
                  cfg: DecodeConfig, max_frames: int, max_steps: int = 64,
                  max_words: int = None, finished_size: int = 64):
@@ -252,7 +263,7 @@ class DeviceBeamSearcher:
                 lambda c: body(variables, sctx, c),
                 self._init_carry(),
             )
-            fin_scores, fin_hist, fin_words, fin_wc = out[10:14]
+            fin_scores, fin_hist, fin_words, fin_wc = out[self.FINISHED_SLOTS]
             return fin_scores, fin_hist, fin_words, fin_wc
 
         self._search_fn_raw = search

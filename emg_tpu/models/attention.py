@@ -184,10 +184,15 @@ class MultiHeadAttention(nn.Module):
                 else:
                     # training twin: differentiable, with the reference's
                     # post-softmax dropout applied inside the kernel (the
-                    # mask is a pure hash of (seed, b, h, query, key))
-                    seed = jax.random.bits(
-                        self.make_rng("dropout"), (), jnp.uint32
-                    ).astype(jnp.int32)
+                    # mask is a pure hash of (seed, b, h, query, key)).
+                    # At rate 0 no rng is consumed — nn.Dropout likewise
+                    # short-circuits, so callers without a dropout rng work
+                    if self.dropout > 0.0:
+                        seed = jax.random.bits(
+                            self.make_rng("dropout"), (), jnp.uint32
+                        ).astype(jnp.int32)
+                    else:
+                        seed = jnp.int32(0)
                     o = flash_attention_relpos_train(
                         q, k, v, used, oob, kp, self.dropout, seed
                     )

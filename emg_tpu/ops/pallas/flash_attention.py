@@ -19,12 +19,18 @@ multiple of 128 by construction (ko, qo are multiples of the 128-aligned
 block sizes and (T-1)+pad_r ≡ 0 mod 128) — exactly the alignment Mosaic's
 lane slicing requires.
 
-Query-padding fills are omitted on purpose: adding a constant to an entire
-logit row (the reference's masked_fill of pad *queries*,
-transformer.py:184-188) is a softmax no-op, so outputs are identical.
+Query-padding fills are omitted on purpose. The reference (and the repo's
+XLA path) REPLACES pad-query rows' logits with -1e8, so pad-query outputs
+(and their local gradients) differ between the two paths; this is safe
+because pad-position encoder outputs are discarded downstream — the
+per-utterance gather (models/model.py:_gather_utterances) zeroes padded
+positions and the losses mask them — and therefore receive exactly zero
+cotangent on the backward pass.
 
-Used on deterministic (inference/serving) paths; training uses the XLA
-formulation, which autodiff handles.
+Both serving and training use these kernels when the gate in
+models/attention.py engages (T % 256 == 0 and T >= 512 on TPU); training
+runs the differentiable twin (custom_vjp backward kernels below) with
+in-kernel hash-RNG dropout.
 """
 
 from __future__ import annotations

@@ -259,6 +259,22 @@ class Trainer:
         batch_idx = int(state.microbatches)
         run_train: Dict[str, float] = {"loss": 0.0, "dec": 0.0, "enc": 0.0, "n": 0}
 
+        # metric scalars stay on device between report boundaries: a
+        # per-microbatch float() would block the host on every step and cap
+        # the prefetch/step overlap, so device metrics queue here and are
+        # fetched in one drain at report_loss boundaries / epoch end
+        pending: List[Dict] = []
+
+        def drain_pending():
+            for m in pending:
+                loss = float(m["loss"])
+                losses.append(loss)
+                run_train["loss"] += loss
+                run_train["dec"] += float(m["dec_loss"])
+                run_train["enc"] += float(m["enc_loss"])
+                run_train["n"] += 1
+            pending.clear()
+
         for epoch_idx in range(cfg.n_epochs):
             losses: List[float] = []
             epoch_start = time.time()
@@ -268,15 +284,11 @@ class Trainer:
                 state, metrics = self._train_step_for(max_frames)(
                     state, pb, self.rng
                 )
-                loss = float(metrics["loss"])
-                losses.append(loss)
-                run_train["loss"] += loss
-                run_train["dec"] += float(metrics["dec_loss"])
-                run_train["enc"] += float(metrics["enc_loss"])
-                run_train["n"] += 1
+                pending.append(metrics)
                 batch_idx += 1
 
                 if (step + 1) % cfg.report_loss == 0:
+                    drain_pending()
                     ev = self.evaluation_loop(state, dev_sampler)
                     n = max(run_train["n"], 1)
                     self.writer.add_scalar("Loss/Training", round(run_train["loss"] / n, 3), batch_idx)
@@ -288,6 +300,7 @@ class Trainer:
                     self.writer.flush()
                     run_train = {"loss": 0.0, "dec": 0.0, "enc": 0.0, "n": 0}
 
+            drain_pending()
             train_sampler.set_epoch(epoch_idx + 1)
             if epoch_idx % cfg.report_PER == 0:
                 curr_eval_PER = self.report_PER(

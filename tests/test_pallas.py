@@ -216,6 +216,38 @@ def test_iir_scan_reverse_matches_flipped_causal():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_iir_scan_reverse_matches_numpy_recurrence():
+    """Anti-causal iir_scan against a direct numpy reference recurrence
+    w[t] = lam*w[t+1] + u[t] at a fixed block size — a kernel-independent
+    oracle (the flipped-causal test above shares the kernel's own scan
+    machinery, and the batched-vs-single DSP tolerances are loose)."""
+    from emg_tpu.ops.pallas.iir_scan import iir_scan
+
+    R, T, bt = 8, 768, 256
+    lam = (RNG.uniform(0.8, 0.995, R)
+           + 1j * RNG.uniform(-0.3, 0.3, R)).astype(np.complex64)
+    u = (RNG.normal(size=(R, T))
+         + 1j * RNG.normal(size=(R, T))).astype(np.complex64)
+    w0 = (RNG.normal(size=R) + 1j * RNG.normal(size=R)).astype(np.complex64)
+
+    expect = np.empty((R, T), np.complex64)
+    carry = w0.copy()
+    for t in range(T - 1, -1, -1):
+        carry = lam * carry + u[:, t]
+        expect[:, t] = carry
+
+    got_r, got_i = iir_scan(
+        jnp.asarray(lam.real), jnp.asarray(lam.imag),
+        jnp.asarray(u.real), jnp.asarray(u.imag),
+        jnp.asarray(w0.real), jnp.asarray(w0.imag),
+        bt=bt, reverse=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_r), expect.real,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_i), expect.imag,
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_model_flash_flag_matches_xla():
     """EMGModel with use_flash_attention produces (near-)identical encoder
     outputs to the XLA path (interpret-mode pallas on CPU)."""
