@@ -1,14 +1,21 @@
 """North-star benchmark on one chip (BASELINE.json metric list).
 
-Measures, on realistic UNEQUAL-length utterances:
+Measures, on realistic UNEQUAL-length utterances (the r2-frozen workload:
+same UTT_SAMPLES, geometry, and model scale every round):
   1. e2e_utterances_per_sec_per_chip — DSP featurization + encoder + greedy
      decode (the primary metric; ``vs_baseline`` is the ratio against the
-     equivalent torch-CPU stack in benchmarks/torch_baseline.py).
-  2. beam_p50_ms — p50 latency of the lexicon-constrained device beam
+     equivalent torch-CPU stack in benchmarks/torch_baseline.py, measured
+     on ALL utterances of the workload). Serving runs bfloat16, the
+     DecodeConfig default (parity gate:
+     tests/test_reference_parity_fullscale.py).
+  2. dsp_ms / encode_ms / greedy_ms — the per-stage decomposition of one
+     e2e launch (greedy_ms derived as e2e minus the measured dsp+encode
+     stages) so regressions localize.
+  3. beam_p50_ms — p50 latency of the lexicon-constrained device beam
      search (BeamWidth 100, the reference BeamSearch.py:16 default).
-  3. train_utt_per_sec / train_mfu_pct — full jitted training-step
-     throughput (fwd+bwd+AdamW) in bfloat16 compute, with MFU from
-     analytic model FLOPs against the chip's bf16 peak.
+  4. train_utt_per_sec / train_step_ms / train_mfu_pct — full jitted
+     training-step throughput (fwd+bwd+AdamW) in bfloat16 compute, with
+     MFU from analytic model FLOPs against the chip's bf16 peak.
 
 Prints ONE JSON line with all metrics.
 """
@@ -132,7 +139,8 @@ def make_batch(geo, targets, target_lengths):
 # ---------------------------------------------------------------------------
 
 def build_greedy_pipeline():
-    cfg = ModelConfig()
+    # serving dtype follows the DecodeConfig default (bf16; see module doc)
+    cfg = ModelConfig(compute_dtype=DecodeConfig().compute_dtype)
     model = EMGModel(cfg)
 
     utts = synth_utterances()
@@ -181,32 +189,80 @@ def build_greedy_pipeline():
     def run_once():
         return e2e(variables, raw_bufs_d, raw_ns_d, batch_template)
 
-    return run_once, utts, geo, model, variables
+    # stage programs for the per-stage decomposition (bench item: localize
+    # regressions). Each is the exact sub-computation of the e2e program.
+    @jax.jit
+    def dsp_stage(raw_bufs, raw_ns):
+        out = preprocess_emg_batched(
+            raw_bufs, raw_ns,
+            jnp.zeros((N_UTTS,), jnp.int32), jnp.zeros((N_UTTS,), jnp.int32), ()
+        )
+        raw = 50.0 * jnp.tanh(out.emg_orig / 20.0 / 50.0)
+        return jnp.where(valid, raw[utt_idx, src_idx, :], 42.0)
+
+    @jax.jit
+    def encode_stage(variables, flat, batch):
+        memory, enc_logits, src_mask = model.apply(
+            variables,
+            flat.reshape(-1, 1600, 8), batch.n_rows, batch.offsets,
+            batch.lengths, MAX_FRAMES, train=False, method=model.encode,
+        )
+        return memory
+
+    def run_dsp():
+        return dsp_stage(raw_bufs_d, raw_ns_d)
+
+    flat_warm = run_dsp()
+
+    def run_encode():
+        return encode_stage(variables, flat_warm, batch_template)
+
+    stages = {"dsp": run_dsp, "encode": run_encode}
+    return run_once, utts, geo, model, variables, stages
+
+
+def _best_time(fn, iters=8, repeats=3):
+    jax.block_until_ready(fn())  # compile + warm
+    best_dt = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        best_dt = min(best_dt, (time.time() - t0) / iters)
+    return best_dt
 
 
 def measure_greedy(run_once):
-    jax.block_until_ready(run_once())  # compile
-    iters = 8
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            out = run_once()
-        jax.block_until_ready(out)
-        best_dt = min(best_dt, time.time() - t0)
-    return N_UTTS * iters / best_dt
+    return N_UTTS / _best_time(run_once)
+
+
+def measure_stages(run_once, stages):
+    """Per-stage ms for one e2e launch; greedy is the e2e remainder."""
+    e2e_ms = _best_time(run_once) * 1000.0
+    dsp_ms = _best_time(stages["dsp"]) * 1000.0
+    encode_ms = _best_time(stages["encode"]) * 1000.0
+    return {
+        "dsp_ms": round(dsp_ms, 3),
+        "encode_ms": round(encode_ms, 3),
+        "greedy_ms": round(max(e2e_ms - dsp_ms - encode_ms, 0.0), 3),
+    }
 
 
 def get_baseline(utts):
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["torch_cpu_utt_per_sec"]
+            cached = json.load(f)
+        # denominator hygiene: only accept a cache measured on the FULL
+        # workload (r2's was 2 of 8 utterances — a noisy ratio)
+        if cached.get("n_utts") == len(utts):
+            return cached["torch_cpu_utt_per_sec"]
     try:
         from benchmarks.torch_baseline import measure_baseline
 
-        value = measure_baseline(utts[:2], max_steps=MAX_STEPS)
+        value = measure_baseline(utts, max_steps=MAX_STEPS)
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"torch_cpu_utt_per_sec": value}, f)
+            json.dump({"torch_cpu_utt_per_sec": value, "n_utts": len(utts)}, f)
         return value
     except Exception as e:  # pragma: no cover
         print(f"baseline measurement failed: {e}", file=sys.stderr)
@@ -373,8 +429,9 @@ def measure_train(geo):
 
 
 def main():
-    run_once, utts, geo, model, variables = build_greedy_pipeline()
+    run_once, utts, geo, model, variables, stages = build_greedy_pipeline()
     utt_per_sec = measure_greedy(run_once)
+    stage_ms = measure_stages(run_once, stages)
     baseline = get_baseline(utts)
     vs = (utt_per_sec / baseline) if baseline else 0.0
 
@@ -388,8 +445,10 @@ def main():
                 "value": round(utt_per_sec, 2),
                 "unit": "utt/s",
                 "vs_baseline": round(vs, 2),
+                **stage_ms,
                 "beam_p50_ms": round(beam_p50, 2),
                 "train_utt_per_sec": round(train_ups, 2),
+                "train_step_ms": round(1000.0 * N_UTTS / train_ups, 2),
                 "train_model_tflops_per_sec": round(train_tflops, 2),
                 "train_mfu_pct": round(mfu, 2),
             }

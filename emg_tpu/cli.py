@@ -54,12 +54,18 @@ def _prepare_single(cfg: Config, testset, i: int):
 
 
 def _load_model_for_eval(cfg: Config, ckpt_path: str, testset):
+    import dataclasses
+
     import jax
 
     from emg_tpu.models import EMGModel
     from emg_tpu.train.checkpoint import CheckpointManager
 
-    model = EMGModel(cfg.model)
+    # serving runs at decode.compute_dtype (bf16 by default; see the gate
+    # cited in DecodeConfig) — params stay float32, activations are cast
+    model = EMGModel(dataclasses.replace(
+        cfg.model, compute_dtype=cfg.decode.compute_dtype
+    ))
     pb, max_frames, _ = _prepare_single(cfg, testset, 0)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},

@@ -52,6 +52,12 @@ class ModelConfig:
     # "reference_batch" replicating the reference's batch-axis PE indexing
     # quirk (architecture.py:126-127) for converted-checkpoint bit parity
     decoder_pe: str = "per_position"
+    # sequence parallelism (SURVEY.md §2.3 final row): shard the encoder
+    # stream's TIME dim over the mesh "model" axis so long packed buckets
+    # (1024/2048 frames) split across chips; XLA SPMD inserts the
+    # attention gathers over ICI. Requires an ambient mesh with a "model"
+    # axis (jax.sharding.set_mesh) — enable via --parallel.sequence_shard.
+    sequence_shard: bool = False
 
 
 @dataclass
@@ -142,6 +148,12 @@ class DecodeConfig:
     # (measured 1.45x search_many on mixed-length request streams). 0 = use
     # the lock-step batched path.
     continuous_lanes: int = 0
+    # compute dtype for the SERVING paths (saved-model greedy/beam eval):
+    # bfloat16 halves decode weight/cache HBM traffic on TPU. Gated by
+    # tests/test_reference_parity_fullscale.py::test_fullscale_bf16_serving_parity
+    # (flagship-geometry bf16-vs-f32 agreement through the converter).
+    # "float32" restores reference-exact serving numerics.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass
@@ -159,6 +171,9 @@ class ParallelConfig:
     coordinator_address: str = ""
     num_processes: int = -1
     process_id: int = -1
+    # shard the encoder stream's time dim over the model axis (sequence
+    # parallelism for the long packed buckets); see ModelConfig.sequence_shard
+    sequence_shard: bool = False
 
 
 @dataclass

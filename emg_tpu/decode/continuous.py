@@ -50,14 +50,19 @@ class ContinuousBeamServer:
         body = searcher._step_fn()
 
         def advance_one(variables, sctx, carry):
-            """Run up to ``chunk`` steps of one lane; no-op once done."""
-            t_stop = carry[0] + chunk
+            """Run ``chunk`` steps of one lane as a static scan (a finished
+            or retired lane is inert: its ``alive`` mask is gated off, so
+            extra steps change nothing it emits — and static trip counts
+            avoid the while_loop's host-synced condition on
+            dispatch-latency-bound links)."""
 
-            def cond(c):
-                return (c[0] < t_stop) & ~searcher._carry_done(sctx, c)
+            def sbody(c, _):
+                t, alive = c[0], c[4]
+                alive = alive & (t < sctx["max_len"])
+                c = c[:4] + (alive,) + c[5:]
+                return body(variables, sctx, c), None
 
-            out = jax.lax.while_loop(cond, lambda c: body(variables, sctx, c),
-                                     carry)
+            out, _ = jax.lax.scan(sbody, carry, None, length=chunk)
             return out, searcher._carry_done(sctx, out)
 
         self._advance = jax.jit(jax.vmap(advance_one, in_axes=(None, 0, 0)))
@@ -123,16 +128,19 @@ class ContinuousBeamServer:
                         if done_np[lane] and lane_req[lane] >= 0]
             if not finished:
                 continue
-            # pull the finished lanes' result buffers (small arrays)
-            fin_scores = np.asarray(carrys[DeviceBeamSearcher.SLOT_FIN_SCORES])
-            fin_hist = np.asarray(carrys[DeviceBeamSearcher.SLOT_FIN_HIST])
-            fin_words = np.asarray(carrys[DeviceBeamSearcher.SLOT_FIN_WORDS])
-            fin_wc = np.asarray(carrys[DeviceBeamSearcher.SLOT_FIN_WC])
+            # pull the finished lanes' result buffers in ONE host fetch
+            fin_scores, fin_hist, fin_words, fin_wc = jax.device_get((
+                carrys[DeviceBeamSearcher.SLOT_FIN_SCORES],
+                carrys[DeviceBeamSearcher.SLOT_FIN_HIST],
+                carrys[DeviceBeamSearcher.SLOT_FIN_WORDS],
+                carrys[DeviceBeamSearcher.SLOT_FIN_WC],
+            ))
             for lane in finished:
                 req = lane_req[lane]
+                best = int(np.argmax(fin_scores[lane]))
                 results[req] = searcher._format(
-                    fin_scores[lane], fin_hist[lane], fin_words[lane],
-                    fin_wc[lane],
+                    fin_scores[lane][best], fin_hist[lane][best],
+                    fin_words[lane][best], fin_wc[lane][best],
                 )
                 if next_req < n:  # refill the lane with the next request
                     lane_t = jnp.int32(lane)  # traced: one trace per swap fn

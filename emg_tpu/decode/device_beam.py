@@ -48,6 +48,12 @@ class DeviceBeamSearcher:
                  max_words: int = None, finished_size: int = 64):
         assert cfg.Constrained, "the device beam requires lexicon constraints"
         self.model = model
+        if model.cfg.compute_dtype == "bfloat16":
+            # hoist the per-use f32->bf16 weight casts out of the step loop
+            # (numerics unchanged; see utils/serving.py)
+            from emg_tpu.utils.serving import cast_params_for_serving
+
+            variables = cast_params_for_serving(variables)
         self.variables = variables
         self.cfg = cfg
         self.max_frames = max_frames
@@ -199,54 +205,52 @@ class DeviceBeamSearcher:
 
             # word-boundary expansions: duplicate each active hypo once
             # per word ending at its node, moved back to the root with
-            # the running LM + length-penalty addition
+            # the running LM + length-penalty addition. All K expansion
+            # slots are scored in ONE batched (K, W) pass — the row layout
+            # [base, k=0, k=1, ...] (row h's parent is h % W) is identical
+            # to the per-k loop this replaces, just fewer fusions per step
             exp_words_ids = self.node_words[new_node]  # (W, K)
-            parts_hist = [new_hist]
-            parts_cum = [new_cum]
-            parts_node = [new_node]
-            parts_alive = [active]
-            parts_ctx = [new_ctx]
-            parts_runlm = [new_runlm]
-            parts_chars = [new_chars]
-            parts_wc = [new_wc]
-            parts_words = [new_words]
-            for k in range(K):
-                wid = exp_words_ids[:, k]  # lexicon word ids, -1 pad
-                has = active & (wid >= 0) & (new_wc < MW)
-                wid_s = jnp.maximum(wid, 0)
-                lm_w = lm.lex2lm[wid_s]
-                cond_w = lm.cond_logp(new_ctx, lm_w)
-                runlm_k = new_runlm + cond_w
-                chars_k = new_chars + lm.word_chars[wid_s] + jnp.where(new_wc > 0, 1, 0)
-                add = (runlm_k + (chars_k.astype(jnp.float32) + 1.0) ** cfg.RunningLengthPenalty) * wt
-                parts_hist.append(new_hist)
-                parts_cum.append(new_cum + add)
-                parts_node.append(jnp.full((W,), self.root, jnp.int32))
-                parts_alive.append(has)
-                parts_ctx.append(lm.shift_ctx(new_ctx, lm_w))
-                parts_runlm.append(runlm_k)
-                parts_chars.append(chars_k)
-                parts_wc.append(new_wc + 1)
-                w_upd = jnp.where(
-                    jnp.arange(MW)[None, :] == new_wc[:, None],
-                    wid_s[:, None], new_words)
-                parts_words.append(w_upd)
+            wid = exp_words_ids.T  # (K, W) lexicon word ids, -1 pad
+            has = active[None] & (wid >= 0) & (new_wc[None] < MW)
+            wid_s = jnp.maximum(wid, 0)
+            lm_w = lm.lex2lm[wid_s]  # (K, W)
+            ctx_b = jnp.broadcast_to(new_ctx[None], (K,) + new_ctx.shape)
+            cond_w = lm.cond_logp(ctx_b, lm_w)  # (K, W)
+            runlm_k = new_runlm[None] + cond_w
+            chars_k = (new_chars[None] + lm.word_chars[wid_s]
+                       + jnp.where(new_wc[None] > 0, 1, 0))
+            add = (runlm_k
+                   + (chars_k.astype(jnp.float32) + 1.0) ** cfg.RunningLengthPenalty
+                   ) * wt
+            w_upd = jnp.where(
+                jnp.arange(MW)[None, None, :] == new_wc[None, :, None],
+                wid_s[:, :, None], new_words[None],
+            )  # (K, W, MW)
 
-            hist = jnp.concatenate(parts_hist)
-            cum = jnp.concatenate(parts_cum)
-            node = jnp.concatenate(parts_node)
-            alive = jnp.concatenate(parts_alive)
-            ctx = jnp.concatenate(parts_ctx)
-            runlm = jnp.concatenate(parts_runlm)
-            chars = jnp.concatenate(parts_chars)
-            wc = jnp.concatenate(parts_wc)
-            words = jnp.concatenate(parts_words)
+            def flat2(base, exp):  # stack [base; k-major expansions]
+                return jnp.concatenate(
+                    [base, exp.reshape((K * W,) + exp.shape[2:])]
+                )
+
+            hist = jnp.tile(new_hist, (1 + K, 1))
+            cum = flat2(new_cum, new_cum[None] + add)
+            node = jnp.concatenate(
+                [new_node, jnp.full((K * W,), self.root, jnp.int32)]
+            )
+            alive = flat2(active, has)
+            ctx = flat2(new_ctx, lm.shift_ctx(ctx_b, lm_w))
+            runlm = flat2(new_runlm, runlm_k)
+            chars = flat2(new_chars, chars_k)
+            wc = flat2(new_wc, jnp.broadcast_to(new_wc[None] + 1, (K, W)))
+            words = flat2(new_words, w_upd)
 
             # re-align the K/V caches with the reordered decode rows:
             # the selected hypothesis hsel's prefix K/V live in cache row
-            # hsel % W (expansion rows shared their parent's history)
+            # hsel % W (expansion rows shared their parent's history).
+            # Caches are layer-stacked (L, W, H, S, Dh), so this is two
+            # gathers along axis 1 rather than 2*L per-layer gathers.
             cache_sel = hsel % W
-            caches = jax.tree.map(lambda c: c[cache_sel], caches)
+            caches = jax.tree.map(lambda c: c[:, cache_sel], caches)
 
             return (t + 1, hist, cum, node, alive, ctx, runlm, chars, wc,
                     words, fin_scores, fin_hist, fin_words, fin_wc, caches)
@@ -257,14 +261,32 @@ class DeviceBeamSearcher:
         body = self._step_fn()
 
         def search(variables, batch: PackedBatch, max_len):
+            """One whole search as a STATIC-trip scan returning only the
+            winning hypothesis.
+
+            Measured on the tunnel-attached chip: each program invocation
+            costs ~30 ms of fixed dispatch latency and every extra fetched
+            output buffer another round trip (~20 ms), while a beam step
+            costs ~50 us of device time. So the search runs all S-1 steps
+            as one lax.scan (steps past max_len are inert: ``alive`` is
+            gated off, so no hypothesis can finish late — same semantics
+            as the reference's range(max_len) loop), takes the argmax over
+            the finished buffer ON DEVICE, and returns one small tuple for
+            a single host fetch."""
             sctx = self._make_ctx(variables, batch, max_len)
-            out = jax.lax.while_loop(
-                lambda c: ~self._carry_done(sctx, c),
-                lambda c: body(variables, sctx, c),
-                self._init_carry(),
+
+            def sbody(carry, _):
+                t, alive = carry[0], carry[4]
+                alive = alive & (t < sctx["max_len"])
+                carry = carry[:4] + (alive,) + carry[5:]
+                return body(variables, sctx, carry), None
+
+            out, _ = jax.lax.scan(
+                sbody, self._init_carry(), None, length=self.S - 1
             )
             fin_scores, fin_hist, fin_words, fin_wc = out[self.FINISHED_SLOTS]
-            return fin_scores, fin_hist, fin_words, fin_wc
+            best = jnp.argmax(fin_scores)
+            return fin_scores[best], fin_hist[best], fin_words[best], fin_wc[best]
 
         self._search_fn_raw = search
         return jax.jit(search, static_argnums=())
@@ -291,28 +313,29 @@ class DeviceBeamSearcher:
         max_lens = jnp.asarray(
             [int(t) + self.cfg.extra_steps for t in target_lens], jnp.int32
         )
-        scores, hists, words, wcs = self._vsearch_fn(self.variables, stacked, max_lens)
+        # one fetch for the whole launch (per-array host pulls each cost a
+        # tunnel round trip)
+        scores, hists, words, wcs = jax.device_get(
+            self._vsearch_fn(self.variables, stacked, max_lens)
+        )
         results = []
         for b in range(len(batches)):
             results.append(self._format(
-                np.asarray(scores[b]), np.asarray(hists[b]),
-                np.asarray(words[b]), np.asarray(wcs[b]),
+                scores[b], hists[b], words[b], wcs[b],
             ))
         return results
 
-    def _format(self, scores, hists, words, wcs):
-        best = int(np.argmax(scores))
-        if not np.isfinite(scores[best]):
+    def _format(self, score, hist, words, wc):
+        """(score, winning history, words, word count) -> search() output."""
+        if not np.isfinite(score):
             return np.array([START_ID, self.phone_count]), -np.inf, []
-        hist = hists[best]
         ends = np.where(hist == self.phone_count)[0]
         hist = hist[: ends[0] + 1] if len(ends) else hist
-        wc = int(wcs[best])
         names = [
             self.tree.dictionary.lookup_word_by_index(int(w)).name
-            for w in words[best][:wc]
+            for w in words[: int(wc)]
         ]
-        return hist, float(scores[best]), names
+        return hist, float(score), names
 
     def search(self, batch: PackedBatch, target_len_tokens: int
                ) -> Tuple[np.ndarray, float, List[str]]:
@@ -320,8 +343,7 @@ class DeviceBeamSearcher:
         if self._search_fn is None:
             self._search_fn = self._build()
         max_len = jnp.int32(int(target_len_tokens) + self.cfg.extra_steps)
-        scores, hists, words, wcs = self._search_fn(self.variables, batch, max_len)
-        return self._format(
-            np.asarray(scores), np.asarray(hists), np.asarray(words),
-            np.asarray(wcs),
+        score, hist, words, wc = jax.device_get(
+            self._search_fn(self.variables, batch, max_len)
         )
+        return self._format(score, hist, words, wc)

@@ -231,20 +231,50 @@ class MultiHeadAttention(nn.Module):
         query_is_pad: jnp.ndarray,  # (B,) current token is PAD
         q: Optional[jnp.ndarray] = None,  # pre-projected (B, H, 1, Dh), e.g.
         #                                    from a fused project_qkv call
+        cur_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        step=None,  # () position of cur_kv when given
     ) -> jnp.ndarray:
         """One-token attention over cached keys/values. Masking reproduces
         the reference's full-prefix semantics exactly: keys not yet
         generated are structurally excluded (-inf -> probability 0), PAD
         keys and PAD queries are set to -1e8 (softmax ties, as in the
-        reference's masked_fill)."""
+        reference's masked_fill).
+
+        ``cur_kv=(k_new, v_new)``: the cache row at ``step`` is STALE and
+        the current token's K/V arrive in-register instead — their logit
+        and value contributions are spliced in here. This keeps every read
+        of the cache before its single write in decode loops, which is what
+        lets XLA update the (layer-stacked) cache carry in place.
+        """
         if q is None:
             q = self.project_q(q_tok)  # (B, H, 1, Dh)
-        logits = jnp.einsum("bhqa,bhka->bhqk", q, k_cache) / (self.head_dim ** 0.5)
+        # logits accumulate float32 so the softmax stays exact when the
+        # caches are bfloat16; probs return to the cache dtype for the
+        # value contraction (standard mixed-precision attention)
+        logits = jnp.einsum(
+            "bhqa,bhka->bhqk", q, k_cache.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) / (self.head_dim ** 0.5)
+        if cur_kv is not None:
+            k_new, v_new = cur_kv
+            cur_logit = jnp.sum(
+                q.astype(jnp.float32) * k_new.astype(jnp.float32), axis=-1
+            ) / (self.head_dim ** 0.5)  # (B, H, 1)
+            at_step = jnp.arange(k_cache.shape[2]) == step  # (S,)
+            logits = jnp.where(
+                at_step[None, None, None, :], cur_logit[..., None], logits
+            )
         logits = jnp.where(pad_mask[:, None, None, :], NEG_FILL, logits)
         logits = jnp.where(query_is_pad[:, None, None, None], NEG_FILL, logits)
         logits = jnp.where(valid_mask[:, None, None, :], logits, STRUCT_MASK)
-        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jnp.asarray(jax.nn.softmax(logits, axis=-1)).astype(v_cache.dtype)
         o = jnp.einsum("bhqk,bhka->bhqa", probs, v_cache)
+        if cur_kv is not None:
+            p_step = jnp.sum(
+                probs * at_step[None, None, None, :].astype(probs.dtype),
+                axis=-1, keepdims=True,
+            )  # (B, H, 1, 1)
+            o = o + p_step * v_new.astype(o.dtype)
         return self.output(o)
 
 

@@ -82,8 +82,9 @@ class EMGModel(nn.Module):
                 use_flash=c.use_flash_attention,
                 remat=c.remat,
             )
-        self.conv_blocks = ConvStack(c.model_size)
-        self.w_raw_in = nn.Dense(c.model_size)
+        cdt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        self.conv_blocks = ConvStack(c.model_size, dtype=cdt)
+        self.w_raw_in = nn.Dense(c.model_size, dtype=cdt)
         self.embedding_tgt = nn.Embed(
             NUM_OUTS_DEC, c.model_size, embedding_init=nn.initializers.normal(1.0)
         )
@@ -125,7 +126,20 @@ class EMGModel(nn.Module):
         flat = x.reshape(-1, x.shape[-1])
         src, src_pad_mask = _gather_utterances(flat, offsets, lengths, max_frames)
         src = src.astype(compute_dtype)
+        if self.cfg.sequence_shard:
+            # sequence parallelism: split the time dim over the mesh
+            # "model" axis through the encoder stack (XLA SPMD propagates
+            # the sharding layer to layer and inserts the attention
+            # all-gathers over ICI), then return to batch-only sharding
+            # for the decoder's cross-attention
+            from jax.sharding import PartitionSpec as P
+
+            src = jax.lax.with_sharding_constraint(src, P("data", "model", None))
         memory = self.transformerEncoder(src, src_pad_mask, deterministic=not train)
+        if self.cfg.sequence_shard:
+            from jax.sharding import PartitionSpec as P
+
+            memory = jax.lax.with_sharding_constraint(memory, P("data", None, None))
         memory = memory.astype(jnp.float32)
         return memory, self.w_aux(memory), src_pad_mask
 
@@ -161,21 +175,26 @@ class EMGModel(nn.Module):
         )
         return self.w_out(out.astype(jnp.float32))
 
+    def _compute_dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
     def project_cross_kvs(self, memory: jnp.ndarray):
-        """Per-decoder-layer memory K/V, computed once per utterance."""
+        """Per-decoder-layer memory K/V, computed once per utterance, at the
+        compute dtype (they are cache-resident through the whole decode)."""
+        memory = memory.astype(self._compute_dtype())
         return self.transformerDecoder.project_cross_kvs(memory)
 
     def init_decode_cache(self, batch_size: int, max_len: int):
-        """Zeroed self-attention K/V caches for incremental decoding."""
+        """Zeroed self-attention K/V caches for incremental decoding:
+        (k_all, v_all) stacked over layers, at the compute dtype."""
+        L = self.cfg.num_layers_decoder
         H = self.cfg.n_heads_decoder
         Dh = self.cfg.model_size // H
-        return [
-            (
-                jnp.zeros((batch_size, H, max_len, Dh), jnp.float32),
-                jnp.zeros((batch_size, H, max_len, Dh), jnp.float32),
-            )
-            for _ in range(self.cfg.num_layers_decoder)
-        ]
+        dt = self._compute_dtype()
+        return (
+            jnp.zeros((L, batch_size, H, max_len, Dh), dt),
+            jnp.zeros((L, batch_size, H, max_len, Dh), dt),
+        )
 
     def decode_step(
         self,
@@ -200,11 +219,12 @@ class EMGModel(nn.Module):
             )[None]
         tokens_pad_mask = tokens == PAD_ID
         query_is_pad = token_ids == PAD_ID
+        x = x.astype(self._compute_dtype())
         out, caches = self.transformerDecoder.decode_step(
             x, caches, cross_kvs, step, tokens_pad_mask, query_is_pad,
             memory_pad_mask,
         )
-        return self.w_out(out[:, 0]), caches
+        return self.w_out(out[:, 0].astype(jnp.float32)), caches
 
     def __call__(
         self,

@@ -158,8 +158,9 @@ class TransformerDecoderLayer(nn.Module):
     def decode_step(
         self,
         x_tok: jnp.ndarray,  # (B, 1, D)
-        self_k: jnp.ndarray,  # (B, H, S, Dh) cache
-        self_v: jnp.ndarray,
+        layer_idx: int,  # static index of this layer in the stacked caches
+        k_all: jnp.ndarray,  # (L, B, H, S, Dh) stacked self-K cache
+        v_all: jnp.ndarray,  # (L, B, H, S, Dh) stacked self-V cache
         cross_k: jnp.ndarray,  # (B or 1, H, T, Dh)
         cross_v: jnp.ndarray,
         step,  # () current position
@@ -168,29 +169,36 @@ class TransformerDecoderLayer(nn.Module):
         memory_padding_mask: jnp.ndarray,  # (B or 1, T)
     ):
         B, _, D = x_tok.shape
-        S = self_k.shape[2]
-        # one fused matmul projects the token's q, k, v together
+        S = k_all.shape[3]
+        # one fused matmul projects the token's q, k, v together. The new
+        # K/V row is NOT written here: attention reads the stale cache and
+        # splices the current token's contribution in-register (attend_step
+        # cur_kv), and the TransformerDecoder writes all layers' rows with
+        # one stacked dynamic_update_slice after the layer loop — every
+        # cache read precedes the single write, so XLA updates the carried
+        # buffers in place instead of copying them per layer.
         q_new, k_new, v_new = self.self_attn.project_qkv(x_tok)  # (B, H, 1, Dh)
-        self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_new, step, axis=2)
-        self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_new, step, axis=2)
         valid = jnp.arange(S)[None, :] <= step  # causal over generated keys
         cdt = x_tok.dtype
         sa = self.self_attn.attend_step(
-            x_tok, self_k, self_v, valid, tokens_pad_mask, query_is_pad,
-            q=q_new,
+            x_tok, k_all[layer_idx], v_all[layer_idx], valid, tokens_pad_mask,
+            query_is_pad, q=q_new, cur_kv=(k_new, v_new), step=step,
         )
         x = self.norm1(x_tok + sa).astype(cdt)
 
-        # cross-attention (no query masking, matching the reference)
+        # cross-attention (no query masking, matching the reference);
+        # logits accumulate float32 so the softmax stays exact at bf16
         q = self.multihead_attn.project_q(x)
         if cross_k.shape[0] == 1 and B > 1:
-            logits = jnp.einsum("bhqa,hka->bhqk", q, cross_k[0])
+            logits = jnp.einsum("bhqa,hka->bhqk", q, cross_k[0],
+                                preferred_element_type=jnp.float32)
         else:
-            logits = jnp.einsum("bhqa,bhka->bhqk", q, cross_k)
+            logits = jnp.einsum("bhqa,bhka->bhqk", q, cross_k,
+                                preferred_element_type=jnp.float32)
         logits = logits / (self.multihead_attn.head_dim ** 0.5)
         mpm = memory_padding_mask
         logits = jnp.where(mpm[:, None, None, :], NEG_FILL, logits)
-        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits, axis=-1).astype(cross_v.dtype)
         if cross_v.shape[0] == 1 and B > 1:
             o = jnp.einsum("bhqk,hka->bhqa", probs, cross_v[0])
         else:
@@ -199,7 +207,7 @@ class TransformerDecoderLayer(nn.Module):
         x = self.norm2(x + ca).astype(cdt)
 
         x = self.norm3(x + self.ff(x, True)).astype(cdt)
-        return x, self_k, self_v
+        return x, k_new, v_new
 
 
 class TransformerEncoder(nn.Module):
@@ -260,12 +268,24 @@ class TransformerDecoder(nn.Module):
 
     def decode_step(self, x_tok, caches, cross_kvs, step, tokens_pad_mask,
                     query_is_pad, memory_padding_mask):
-        """caches: list of (self_k, self_v) per layer. Returns (out, caches)."""
-        new_caches = []
-        for layer, (sk, sv), (ck, cv) in zip(self.layers, caches, cross_kvs):
-            x_tok, sk, sv = layer.decode_step(
-                x_tok, sk, sv, ck, cv, step, tokens_pad_mask, query_is_pad,
-                memory_padding_mask,
+        """caches: (k_all, v_all), each (L, B, H, S, Dh) stacked over layers
+        (beam reordering then costs 2 gathers, not 2*L). Returns
+        (out, caches). Layers only READ the caches; the new K/V rows of all
+        layers land in two stacked writes here, after the last read."""
+        k_all, v_all = caches
+        k_news, v_news = [], []
+        for i, layer in enumerate(self.layers):
+            ck, cv = cross_kvs[i]
+            x_tok, k_new, v_new = layer.decode_step(
+                x_tok, i, k_all, v_all, ck, cv, step, tokens_pad_mask,
+                query_is_pad, memory_padding_mask,
             )
-            new_caches.append((sk, sv))
-        return x_tok, new_caches
+            k_news.append(k_new)
+            v_news.append(v_new)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, jnp.stack(k_news).astype(k_all.dtype), (0, 0, 0, step, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, jnp.stack(v_news).astype(v_all.dtype), (0, 0, 0, step, 0)
+        )
+        return x_tok, (k_all, v_all)

@@ -90,6 +90,19 @@ class Trainer:
                 self.mesh.shape["data"], self.mesh.shape["model"],
                 self.mesh.devices.size,
             )
+            if (config.parallel.sequence_shard
+                    and int(self.mesh.shape["model"]) > 1):
+                # sequence-parallel encoder: the model applies bare-P
+                # sharding constraints, which resolve against the ambient
+                # mesh set here for the whole training run
+                import dataclasses
+
+                from jax.sharding import set_mesh
+
+                set_mesh(self.mesh)
+                self.model = EMGModel(dataclasses.replace(
+                    config.model, sequence_shard=True
+                ))
 
     # -- batch assembly ----------------------------------------------------
     def _prepare(self, dataset: EMGDataset, idxs: List[int]):

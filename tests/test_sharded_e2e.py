@@ -161,3 +161,43 @@ def test_sharded_matches_single_device_loss(tmp_path_factory):
     np.testing.assert_allclose(
         float(m_s["loss"]), float(m_1["loss"]), rtol=1e-4, atol=1e-4
     )
+
+
+def test_sequence_sharded_encoder_matches_unsharded(tmp_path_factory):
+    """--parallel.sequence_shard shards the encoder stream's time dim over
+    the model axis (SURVEY.md §2.3 final row); the sharded step's loss must
+    equal the unsharded one's (the constraint only changes layout, XLA
+    inserts the attention gathers)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import copy
+
+    from emg_tpu.data.dataset import EMGDataset
+    from emg_tpu.train.metrics_writer import MetricsWriter
+    from emg_tpu.train.trainer import Trainer
+
+    root = tmp_path_factory.mktemp("seq_shard")
+    cfg = _tiny_cfg(root, data_axis=4, model_axis=2)
+    cfg.parallel.sequence_shard = True
+    cfg.train.n_epochs = 1
+    trainset = EMGDataset(cfg)
+    devset = EMGDataset(cfg, dev=True)
+    writer = MetricsWriter(str(root / "logs"), use_tensorboard=False)
+
+    sp_tr = Trainer(cfg, trainset, devset, writer)
+    assert sp_tr.model.cfg.sequence_shard
+
+    cfg_plain = copy.deepcopy(cfg)
+    cfg_plain.parallel.sequence_shard = False
+    plain_tr = Trainer(cfg_plain, trainset, devset, writer)
+    assert not plain_tr.model.cfg.sequence_shard
+
+    idxs = list(range(min(4, len(trainset))))
+    pb, mf, _ = sp_tr._prepare(trainset, idxs)
+    state_sp = sp_tr.init_state()
+    state_pl = plain_tr.init_state()
+    _, m_sp = sp_tr._train_step_for(mf)(state_sp, pb, sp_tr.rng)
+    _, m_pl = plain_tr._train_step_for(mf)(state_pl, pb, plain_tr.rng)
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_pl["loss"]), rtol=1e-4, atol=1e-4
+    )

@@ -212,3 +212,40 @@ def test_remat_encoder_trains():
     s1, m1 = step(state, batch, jax.random.PRNGKey(1))
     s2, m2 = step(s1, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_fused_adamw_matches_torch():
+    """fused_adamw (one HBM pass per leaf) is numerically torch.optim.AdamW
+    — the reference optimizer (recognition_model.py:293) — and optax.adamw,
+    over several steps with a per-step LR change through the hyperparams
+    interface."""
+    import optax
+    torch = pytest.importorskip("torch")
+
+    from emg_tpu.train.state import fused_adamw
+
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(24, 16)).astype(np.float32)
+    grads = [rng.normal(size=p0.shape).astype(np.float32) for _ in range(4)]
+    lrs = [3e-4, 3e-4, 1e-3, 5e-4]
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = torch.optim.AdamW([tp], lr=lrs[0], betas=(0.9, 0.999), eps=1e-8,
+                             weight_decay=0.01)
+    for g, lr in zip(grads, lrs):
+        for group in topt.param_groups:
+            group["lr"] = lr
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    tx = fused_adamw(lrs[0])
+    params = {"w": jnp.asarray(p0)}
+    st = tx.init(params)
+    for g, lr in zip(grads, lrs):
+        st = st._replace(hyperparams={"learning_rate": jnp.float32(lr)})
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = optax.apply_updates(params, upd)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tp.detach().numpy(), rtol=2e-5, atol=2e-6
+    )
