@@ -74,7 +74,15 @@ def _load_model_for_eval(cfg: Config, ckpt_path: str, testset):
     )
     mgr = CheckpointManager(ckpt_path)
     params, batch_stats = mgr.restore_params()
-    return model, {"params": params, "batch_stats": batch_stats}
+    variables = {"params": params, "batch_stats": batch_stats}
+    if cfg.decode.quantize_int8:
+        # int8 storage for the decode stack's per-step weight reads
+        # (utils/quantize.py). The DeviceBeamSearcher applies this itself;
+        # doing it here covers the greedy path too (idempotent).
+        from emg_tpu.utils.quantize import quantize_decoder_int8
+
+        variables = quantize_decoder_int8(variables)
+    return model, variables
 
 
 def evaluate_saved_greedy_search(cfg: Config):

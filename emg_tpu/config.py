@@ -154,6 +154,12 @@ class DecodeConfig:
     # (flagship-geometry bf16-vs-f32 agreement through the converter).
     # "float32" restores reference-exact serving numerics.
     compute_dtype: str = "bfloat16"
+    # int8 weights for the cache-resident decode stack (utils/quantize.py):
+    # the decoder re-reads its matmul kernels every token, so per-channel
+    # int8 storage halves the bf16 per-step weight traffic again. Token
+    # parity at decisive margins pinned by tests/test_quantize.py. Off by
+    # default pending a real-checkpoint PER check.
+    quantize_int8: bool = False
 
 
 @dataclass

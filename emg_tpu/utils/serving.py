@@ -34,7 +34,11 @@ def cast_params_for_serving(variables, dtype=jnp.bfloat16):
     numerics are unchanged — only the per-step conversions disappear.
     """
 
+    from emg_tpu.utils.quantize import Int8Tensor
+
     def cast(path, leaf):
+        if isinstance(leaf, Int8Tensor):  # already quantized: leave as-is
+            return leaf
         names = [getattr(p, "key", str(p)) for p in path]
         if names and names[-1] in _ATTN_LEAVES:
             return leaf.astype(dtype)
@@ -44,7 +48,9 @@ def cast_params_for_serving(variables, dtype=jnp.bfloat16):
             return leaf.astype(dtype)
         return leaf
 
-    params = jax.tree_util.tree_map_with_path(cast, variables["params"])
+    params = jax.tree_util.tree_map_with_path(
+        cast, variables["params"], is_leaf=lambda x: isinstance(x, Int8Tensor)
+    )
     out = dict(variables)
     out["params"] = params
     return out
