@@ -54,6 +54,12 @@ class DeviceBeamSearcher:
             from emg_tpu.utils.serving import cast_params_for_serving
 
             variables = cast_params_for_serving(variables)
+        if cfg.quantize_int8:
+            # int8 storage for the decoder's per-step weight reads
+            # (utils/quantize.py; parity gated by tests/test_quantize.py)
+            from emg_tpu.utils.quantize import quantize_decoder_int8
+
+            variables = quantize_decoder_int8(variables)
         self.variables = variables
         self.cfg = cfg
         self.max_frames = max_frames
