@@ -16,6 +16,9 @@ same UTT_SAMPLES, geometry, and model scale every round):
   4. train_utt_per_sec / train_step_ms / train_mfu_pct — full jitted
      training-step throughput (fwd+bwd+AdamW) in bfloat16 compute, with
      MFU from analytic model FLOPs against the chip's bf16 peak.
+  5. train_accum_utt_per_sec / train_accum_mfu_pct — the same step at the
+     reference-realistic accumulation window (104 mixed-length utterances
+     per update; reference batch_size_grad=100).
 
 Prints ONE JSON line with all metrics.
 """
@@ -374,7 +377,7 @@ def analytic_fwd_flops(cfg: ModelConfig, rows, chunk, B, T, S, n_frames_total):
     return conv + w_raw_in + enc + dec + heads
 
 
-def measure_train(geo):
+def measure_train(geo, n_utts=N_UTTS):
     from emg_tpu.parallel.train_step import make_train_step
     from emg_tpu.train.state import create_train_state
 
@@ -383,7 +386,7 @@ def measure_train(geo):
     rng = np.random.default_rng(0)
     S = 48
     tlens = np.minimum(12 + geo["lengths"] // 16, S).astype(np.int32)
-    targets = np.full((N_UTTS, S), 42, np.int64)
+    targets = np.full((n_utts, S), 42, np.int64)
     for i, L in enumerate(tlens):
         targets[i, 0] = 41
         targets[i, 1 : L - 1] = rng.integers(0, 40, L - 2)
@@ -396,7 +399,7 @@ def measure_train(geo):
         n_examples=batch.n_examples,
     )
 
-    tcfg = TrainConfig(batch_size_grad=N_UTTS)
+    tcfg = TrainConfig(batch_size_grad=n_utts)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)},
         batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
@@ -419,13 +422,29 @@ def measure_train(geo):
         best_dt = min(best_dt, time.time() - t0)
 
     step_time = best_dt / iters
-    utt_per_sec = N_UTTS / step_time
+    utt_per_sec = n_utts / step_time
     fwd = analytic_fwd_flops(
-        cfg, rows=int(batch.packed_raw.shape[0]), chunk=1600, B=N_UTTS,
+        cfg, rows=int(batch.packed_raw.shape[0]), chunk=1600, B=n_utts,
         T=MAX_FRAMES, S=S - 1, n_frames_total=int(geo["lengths"].sum()),
     )
     mfu = 3.0 * fwd / step_time / chip_peak_flops()
     return utt_per_sec, 3.0 * fwd / step_time / 1e12, mfu * 100.0
+
+
+def measure_train_accum():
+    """Train MFU at reference-realistic update size: one accumulation
+    window is >= 100 examples (reference recognition_model.py:43-50,
+    batch_size_grad=100), here 13x the frozen 8-utterance workload = 104
+    mixed-length utterances in one packed microbatch."""
+    reps = 13
+    samples = UTT_SAMPLES * reps
+    probe = preprocess_emg_batched(
+        jnp.zeros((len(samples), DSP_BUCKET, 8), jnp.float32),
+        np.asarray(samples, np.int32),
+        np.zeros(len(samples), np.int32), np.zeros(len(samples), np.int32), ())
+    frames = [int(f) for f in np.asarray(probe.n_frames)]
+    geo = packed_geometry(frames)
+    return measure_train(geo, n_utts=len(samples))
 
 
 def main():
@@ -437,6 +456,7 @@ def main():
 
     beam_p50 = measure_beam_p50(model, variables)
     train_ups, train_tflops, mfu = measure_train(geo)
+    accum_ups, accum_tflops, accum_mfu = measure_train_accum()
 
     print(
         json.dumps(
@@ -451,6 +471,10 @@ def main():
                 "train_step_ms": round(1000.0 * N_UTTS / train_ups, 2),
                 "train_model_tflops_per_sec": round(train_tflops, 2),
                 "train_mfu_pct": round(mfu, 2),
+                # reference-realistic accumulation window (>=100 examples
+                # per update, recognition_model.py:43-50)
+                "train_accum_utt_per_sec": round(accum_ups, 2),
+                "train_accum_mfu_pct": round(accum_mfu, 2),
             }
         )
     )
