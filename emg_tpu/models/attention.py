@@ -158,9 +158,13 @@ class MultiHeadAttention(nn.Module):
             self.use_flash
             and self.relative_positional
             and not causal
-            and q.shape[2] % 256 == 0
-            and q.shape[2] >= 512  # measured crossover: 2.8x XLA at T=512,
-            #                        7.5x at T=1024, tie at T=256 (v5e)
+            and q.shape[2] % 128 == 0
+            and q.shape[2] >= 256  # measured: 2.8x XLA at T=512, 7.5x at
+            #  T=1024 (v5e). Serving ties at T=256, but the XLA path's
+            #  rel->abs skew materializes (B,H,T,2T) reshapes (~3.6 ms
+            #  each at T=384, B=39 — profiled r3), so every bucket the
+            #  kernel can tile (T % 128 == 0) now runs flash; 384-class
+            #  buckets use 128-wide blocks
         ):
             from emg_tpu.ops.pallas.flash_attention import (
                 flash_attention_relpos,
@@ -177,9 +181,16 @@ class MultiHeadAttention(nn.Module):
                     if key_padding_mask is not None
                     else jnp.zeros(q.shape[:1] + (k.shape[2],), bool)
                 )
+                # block size: 256 where T tiles by it (measured best at
+                # 512+); otherwise one full-T block — at T=384 the single
+                # (384,384) block runs the fwd+bwd pair 1.9x faster than
+                # (128,128) tiling (8.1 vs 15.2 ms at B=39, v5e)
+                T_ = q.shape[2]
+                blk = 256 if T_ % 256 == 0 else (T_ if T_ <= 512 else 128)
                 if deterministic:
                     # kernel accumulates float32; return at the stream dtype
-                    o = flash_attention_relpos(q, k, v, used, oob, kp)
+                    o = flash_attention_relpos(q, k, v, used, oob, kp,
+                                               bq=blk, bk=blk)
                     o = o.astype(query.dtype)
                 else:
                     # training twin: differentiable, with the reference's
@@ -194,7 +205,8 @@ class MultiHeadAttention(nn.Module):
                     else:
                         seed = jnp.int32(0)
                     o = flash_attention_relpos_train(
-                        q, k, v, used, oob, kp, self.dropout, seed
+                        q, k, v, used, oob, kp, self.dropout, seed,
+                        bq=blk, bk=blk,
                     )
                 return self.output(o)
 

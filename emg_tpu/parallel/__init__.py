@@ -10,6 +10,7 @@ from emg_tpu.parallel.mesh import (  # noqa: F401
 )
 from emg_tpu.parallel.train_step import (  # noqa: F401
     make_train_step,
+    make_train_window,
     make_eval_step,
     compute_losses,
 )

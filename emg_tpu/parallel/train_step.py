@@ -101,6 +101,38 @@ def _augment_batch(batch: PackedBatch, cfg, rng) -> PackedBatch:
 
 def make_train_step(model, cfg, max_frames: int):
     """Build the jitted microbatch step: grad, accumulate, maybe apply."""
+    return jax.jit(make_train_step_fn(model, cfg, max_frames),
+                   donate_argnums=(0,))
+
+
+def make_train_window(model, cfg, max_frames_seq):
+    """One jitted program running a whole accumulation WINDOW of
+    microbatches (one per entry of ``max_frames_seq``, in order).
+
+    Semantically identical to calling the per-microbatch step len(seq)
+    times — same grads, same RNG folding, same apply trigger — but a
+    single program launch. On dispatch-latency-bound attachments (the
+    tunnel this repo benches through costs ~15-20 ms per launch even
+    pipelined) this removes all but one launch per optimizer update; the
+    microbatch composition of a window is known ahead of time because the
+    DynamicBatchSampler is deterministic per (seed, epoch). One compile
+    per distinct window signature (tuple of bucket shapes).
+    """
+    bodies = [make_train_step_fn(model, cfg, mf) for mf in max_frames_seq]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def window_step(state, batches, rng):
+        metrics = []
+        for body, batch in zip(bodies, batches):
+            state, m = body(state, batch, rng)
+            metrics.append(m)
+        return state, metrics
+
+    return window_step
+
+
+def make_train_step_fn(model, cfg, max_frames: int):
+    """The unjitted microbatch step body (see make_train_step)."""
 
     alpha = cfg.alpha_loss
     use_ss = cfg.scheduled_sampling_max_prob > 0
@@ -138,7 +170,6 @@ def make_train_step(model, cfg, max_frames: int):
         loss = combined_loss(dec_loss, enc_loss, alpha)
         return loss, (dec_loss, enc_loss, new_bs)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: PackedBatch, rng) -> Tuple[TrainState, dict]:
         step_rng = jax.random.fold_in(rng, state.microbatches)
         dropout_rng, shift_rng, aug_rng, ss_rng = jax.random.split(step_rng, 4)

@@ -32,8 +32,11 @@ def _naive(q, k, v, used, oob, kpad):
     return np.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-@pytest.mark.parametrize("T,maxpos", [(512, 300), (256, 300), (512, 512)])
-def test_flash_relpos_matches_naive_interpret(T, maxpos):
+@pytest.mark.parametrize("T,maxpos,blk", [
+    (512, 300, 256), (256, 300, 256), (512, 512, 256),
+    (384, 300, 384),  # full-T single block, the 384-bucket training config
+])
+def test_flash_relpos_matches_naive_interpret(T, maxpos, blk):
     """Covers both regimes: window narrower than T (out-of-range -1e8
     masking active, the reference transformer.py:354-359 case) and window
     covering the whole sequence."""
@@ -58,7 +61,7 @@ def test_flash_relpos_matches_naive_interpret(T, maxpos):
     out = flash_attention_relpos(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
         jnp.asarray(used), jnp.asarray(oob), jnp.asarray(kpad),
-        bq=256, bk=256, interpret=True,
+        bq=blk, bk=blk, interpret=True,
     )
     ref = _naive(q, k, v, used, oob, kpad)
 
