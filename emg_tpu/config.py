@@ -154,6 +154,11 @@ class DecodeConfig:
     # (flagship-geometry bf16-vs-f32 agreement through the converter).
     # "float32" restores reference-exact serving numerics.
     compute_dtype: str = "bfloat16"
+    # run the decoder token step through the fused Pallas kernels
+    # (ops/pallas/fused_decode_step.py: 3 kernels/layer instead of ~460
+    # XLA micro-fusions/step); parity pinned by tests/test_fused_decode.py.
+    # Effective on TPU only — other platforms fall back to the XLA step.
+    fused_step: bool = True
     # int8 weights for the cache-resident decode stack (utils/quantize.py):
     # the decoder re-reads its matmul kernels every token, so per-channel
     # int8 storage halves the bf16 per-step weight traffic again. Token

@@ -91,6 +91,57 @@ class DeviceBeamSearcher:
         self._search_fn_raw = None
         self._vsearch_fn = None
 
+        self._fused = None
+        # the fused kernels read plain (H, D, Dh) weight tensors, so the
+        # int8-quantized layout (dict of values+scales) keeps the XLA step
+        if cfg.fused_step and not cfg.quantize_int8:
+            from emg_tpu.ops.pallas.fused_decode_step import (
+                FusedDecoder,
+                flash_available,
+            )
+
+            if flash_available():
+                self._fused = FusedDecoder(model.cfg, self.variables)
+                try:
+                    self._probe_fused()
+                except Exception as e:  # Mosaic lowering/VMEM rejection
+                    import warnings
+
+                    warnings.warn(
+                        "fused decode-step kernels failed to compile on "
+                        f"this backend ({type(e).__name__}); using the XLA "
+                        "decode_step instead"
+                    )
+                    self._fused = None
+
+    def _probe_fused(self):
+        """Compile ONE fused step at this search's real shapes so a Mosaic
+        lowering failure falls back to the XLA step instead of breaking the
+        first search launch."""
+        H = self.model.cfg.n_heads_decoder
+        Dh = self.model.cfg.model_size // H
+        L = self.model.cfg.num_layers_decoder
+        dt = self._fused.dtype
+        T = 64
+        caches = self._fused.init_cache(self.W, self.S)
+        cross_kvs = [
+            (jnp.zeros((1, H, T, Dh), dt), jnp.zeros((1, H, T, Dh), dt))
+            for _ in range(L)
+        ]
+        tok = jnp.zeros((self.W,), jnp.int32)
+        tokens = jnp.zeros((self.W, self.S), jnp.int32)
+        mpad = jnp.zeros((1, T), bool)
+        jax.jit(self._fused.step).lower(
+            tok, jnp.int32(0), caches, cross_kvs, tokens, mpad
+        ).compile()
+        # search_many and the continuous server run the step under vmap
+        # (pallas batching prepends a grid dim) — probe that lowering too
+        two = lambda x: jnp.stack([x, x])
+        jax.jit(jax.vmap(self._fused.step)).lower(
+            two(tok), jnp.zeros((2,), jnp.int32), jax.tree.map(two, caches),
+            jax.tree.map(two, cross_kvs), two(tokens), two(mpad),
+        ).compile()
+
     # ------------------------------------------------------------------
     def _make_ctx(self, variables, batch: PackedBatch, max_len):
         """Per-utterance search context: encoder memory projected into each
@@ -124,7 +175,12 @@ class DeviceBeamSearcher:
         fin_hist0 = jnp.full((F, S), 42, jnp.int32)
         fin_words0 = jnp.full((F, MW), -1, jnp.int32)
         fin_wc0 = jnp.zeros((F,), jnp.int32)
-        caches0 = self.model.init_decode_cache(W, S)
+        if self._fused is not None:
+            # the fused kernels own transposed cache layouts (see
+            # ops/pallas/fused_decode_step.py module docstring)
+            caches0 = self._fused.init_cache(W, S)
+        else:
+            caches0 = self.model.init_decode_cache(W, S)
         return (jnp.int32(0), hist0, cum0, node0, alive0, ctx0, runlm0,
                 chars0, wc0, words0, fin_scores0, fin_hist0, fin_words0,
                 fin_wc0, caches0)
@@ -153,10 +209,16 @@ class DeviceBeamSearcher:
                 token_in = jax.lax.dynamic_index_in_dim(
                     tokens, t, axis=1, keepdims=False
                 )
-                logits, caches = model.apply(
-                    variables, token_in, t, caches, sctx["cross_kvs"], tokens,
-                    sctx["src_mask"], method=model.decode_step,
-                )
+                if self._fused is not None:
+                    logits, caches = self._fused.step(
+                        token_in, t, caches, sctx["cross_kvs"], tokens,
+                        sctx["src_mask"],
+                    )
+                else:
+                    logits, caches = model.apply(
+                        variables, token_in, t, caches, sctx["cross_kvs"],
+                        tokens, sctx["src_mask"], method=model.decode_step,
+                    )
                 return jax.nn.log_softmax(logits[:, :-2], axis=-1), caches
 
             (t, hist, cum, node, alive, ctx, runlm, chars, wc, words,
@@ -256,7 +318,10 @@ class DeviceBeamSearcher:
             # Caches are layer-stacked (L, W, H, S, Dh), so this is two
             # gathers along axis 1 rather than 2*L per-layer gathers.
             cache_sel = hsel % W
-            caches = jax.tree.map(lambda c: c[:, cache_sel], caches)
+            if self._fused is not None:
+                caches = self._fused.select_rows(caches, cache_sel)
+            else:
+                caches = jax.tree.map(lambda c: c[:, cache_sel], caches)
 
             return (t + 1, hist, cum, node, alive, ctx, runlm, chars, wc,
                     words, fin_scores, fin_hist, fin_words, fin_wc, caches)

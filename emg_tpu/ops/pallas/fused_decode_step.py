@@ -1,0 +1,511 @@
+"""Fused decoder token-step kernels (the beam/greedy hot loop).
+
+The reference re-runs the whole prefix through the decoder every
+autoregressive step (BeamSearch.py:104-170, greedy_search.py:21); this
+repo's incremental `decode_step` already cuts that to one-token compute
+over cached K/V, but XLA compiles it to ~460 micro-fusions per step
+(profiled r2/r3) and the step is op-DISPATCH bound while its HBM traffic
+bounds it far lower. Here each decoder layer's step runs as THREE Pallas
+kernels instead:
+
+  K1 self-block:  fused q|k projection + transposed v projection ->
+                  cached self-attention with the current token's K/V
+                  spliced in-register (the cache row at `step` is stale;
+                  see models/attention.py attend_step) -> head-merge
+                  output projection accumulated across a grid over heads
+                  -> residual + LayerNorm1
+  K2 cross-block: q projection -> attention over the utterance's shared
+                  projected memory K/V -> output projection (grid over
+                  heads, accumulated) -> residual + LayerNorm2
+  K3 ffn-block:   Dense(ff) -> ReLU -> Dense(d) -> residual + LayerNorm3
+
+6 layers x 3 kernels + the stacked cache writes ≈ 25 device ops per beam
+step. Numerics match the XLA path: logits and softmax accumulate float32,
+LayerNorm math is float32 (eps 1e-5), streams stay bfloat16; masking
+reproduces the reference's semantics (PAD keys/queries -> -1e8 softmax
+ties, not-yet-generated keys structurally excluded).
+
+Mosaic lowering rules shape the data layout: TPU Pallas only lowers
+leading-dimension broadcasts (``x[None]``), plain 2D ``dot_general``s
+(no batch dims), and reductions within each leading slice — the same
+idiom set as the proven flash kernels. Batched one-token attention
+(every beam row owns its own cache) therefore runs on transposed
+layouts where the broadcast dim LEADS:
+
+  K cache per head: (S, B, Dh)   logits[s,b] = sum_d q[None,b,d]*k[s,b,d]
+  V cache per head: (Dh, S, B)   out[d,b]    = sum_s p[None,s,b]*v[d,s,b]
+
+and the new V row is produced directly transposed, (Dh, B) = w_v^T x^T,
+so no in-kernel transposes exist. The FusedDecoder owns these cache
+layouts (`init_cache`, `select_rows`); the XLA `decode_step` keeps its
+(L, B, H, S, Dh) layout.
+
+Weights are pre-arranged once per search (`prepare_fused_params`) into
+per-head-slicable stacks so the kernels' BlockSpecs can walk heads
+without any per-step layout ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_FILL = -1e8  # reference masked_fill value
+STRUCT = -1e30  # structural exclusion (exp -> exactly 0 in f32)
+
+# same platform gate as the flash kernels (tpu or the tunnel's "axon")
+from emg_tpu.ops.pallas.flash_attention import flash_available  # noqa: E402,F401
+
+
+class FusedLayerParams(NamedTuple):
+    w_qk: jnp.ndarray  # (H, D, 2Dh) bf16 [q|k] per head
+    w_v: jnp.ndarray  # (H, D, Dh) bf16 (applied transposed in-kernel)
+    w_o: jnp.ndarray  # (H, Dh, D) bf16
+    ln1: jnp.ndarray  # (2, D) f32 [scale; bias]
+    w_qc: jnp.ndarray  # (H, D, Dh) bf16 cross-attention query
+    w_oc: jnp.ndarray  # (H, Dh, D) bf16
+    ln2: jnp.ndarray  # (2, D) f32
+    w1: jnp.ndarray  # (D, FF) bf16
+    b1: jnp.ndarray  # (1, FF) f32
+    w2: jnp.ndarray  # (FF, D) bf16
+    b2: jnp.ndarray  # (1, D) f32
+    ln3: jnp.ndarray  # (2, D) f32
+
+
+def prepare_fused_params(variables, num_layers: int,
+                         dtype=jnp.bfloat16) -> list:
+    """Stack each decoder layer's weights into kernel-ready layouts."""
+    params = variables["params"]["transformerDecoder"]
+    out = []
+    for i in range(num_layers):
+        lp = params[f"layer{i}"]
+        sa, ca = lp["self_attn"], lp["multihead_attn"]
+        w_qk = jnp.concatenate(
+            [jnp.asarray(sa["w_q"]), jnp.asarray(sa["w_k"])], axis=2,
+        ).astype(dtype)  # (H, D, 2Dh)
+
+        def ln(mod):
+            return jnp.stack(
+                [jnp.asarray(mod["scale"], jnp.float32),
+                 jnp.asarray(mod["bias"], jnp.float32)]
+            )
+
+        ff = lp["ff"]
+        out.append(FusedLayerParams(
+            w_qk=w_qk,
+            w_v=jnp.asarray(sa["w_v"]).astype(dtype),
+            w_o=jnp.asarray(sa["w_o"]).astype(dtype),
+            ln1=ln(lp["norm1"]),
+            w_qc=jnp.asarray(ca["w_q"]).astype(dtype),
+            w_oc=jnp.asarray(ca["w_o"]).astype(dtype),
+            ln2=ln(lp["norm2"]),
+            w1=jnp.asarray(ff["linear1"]["kernel"]).astype(dtype),
+            b1=jnp.asarray(ff["linear1"]["bias"], jnp.float32)[None, :],
+            w2=jnp.asarray(ff["linear2"]["kernel"]).astype(dtype),
+            b2=jnp.asarray(ff["linear2"]["bias"], jnp.float32)[None, :],
+            ln3=ln(lp["norm3"]),
+        ))
+    return out
+
+
+def _layer_norm(y, ln_ref, eps=1e-5):
+    """f32 LayerNorm over the last dim; ln_ref rows = [scale, bias]."""
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
+    return ((y - mean) / jnp.sqrt(var + eps)) * ln_ref[0][None, :] + ln_ref[1][None, :]
+
+
+# ---------------------------------------------------------------------------
+# K1: fused self-attention block (grid over heads, accumulate w_o output)
+# ---------------------------------------------------------------------------
+
+def _self_block_kernel(step_ref, x_ref, wqk_ref, wv_ref, wo_ref, ln1_ref,
+                       k_ref, v_ref, kpad_ref, qpad_ref,
+                       x1_ref, knew_ref, vnewT_ref, acc_ref,
+                       *, H, Dh, scale):
+    h = pl.program_id(0)
+    x = x_ref[...]  # (B, D) bf16
+    B = x.shape[0]
+    S = k_ref.shape[0]  # k block (S, B, Dh)
+    step = step_ref[0]
+
+    qk = jax.lax.dot_general(
+        x, wqk_ref[...],  # (D, 2Dh) — None head dim squeezed by BlockSpec
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (B, 2Dh) f32
+    q = qk[:, :Dh]
+    k_new = qk[:, Dh:]
+    # the new V row comes out directly transposed, (Dh, B) = w_v^T x^T, so
+    # the splice below and the (Dh, S, B) cache write need no transposes
+    v_newT = jax.lax.dot_general(
+        wv_ref[...], x, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Dh, B) f32
+    knew_ref[...] = k_new.astype(knew_ref.dtype)
+    vnewT_ref[...] = v_newT.astype(vnewT_ref.dtype)
+
+    ks = k_ref[...]  # (S, B, Dh) bf16 (this head's cache)
+    # round q / k_new to the stream dtype first: the XLA attend_step
+    # projects at the compute dtype, so its logits see rounded operands.
+    # The contraction runs as a leading-broadcast multiply + f32 reduce on
+    # the VPU (upcast-then-multiply is exact for bf16 operands, identical
+    # to the MXU's bf16xbf16->f32 accumulate)
+    q_r = q.astype(ks.dtype)
+    logits = jnp.sum(
+        q_r[None].astype(jnp.float32) * ks.astype(jnp.float32), axis=-1
+    ) * scale  # (S, B) f32
+    cur = jnp.sum(
+        q_r.astype(jnp.float32) * k_new.astype(ks.dtype).astype(jnp.float32),
+        axis=-1,
+    )[None, :] * scale  # (1, B) f32
+    pos = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
+    at_step = pos == step
+    logits = jnp.where(at_step, cur, logits)
+    # reference masking: PAD keys / PAD query -> -1e8; future keys excluded
+    logits = jnp.where(kpad_ref[...] != 0, NEG_FILL, logits)
+    logits = jnp.where(qpad_ref[...] != 0, NEG_FILL, logits)
+    logits = jnp.where(pos <= step, logits, STRUCT)
+
+    m = jnp.max(logits, axis=0, keepdims=True)  # (1, B)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=0, keepdims=True)
+    p = p / denom  # (S, B) f32
+    # round where the XLA attend_step materializes the stream dtype so the
+    # two paths' logits agree to rounding noise: probs->bf16 before the PV
+    # contraction, the PV output itself, and the current-token splice.
+    # The at_step cache row is all-zeros (never written), so including it
+    # in the PV sum matches attend_step exactly.
+    p_r = p.astype(ks.dtype)
+    o = jnp.sum(
+        p_r[None].astype(jnp.float32) * v_ref[...].astype(jnp.float32),
+        axis=1,
+    )  # (Dh, B) f32
+    p_step = jnp.sum(
+        jnp.where(at_step, p, 0.0), axis=0, keepdims=True
+    ).astype(ks.dtype)  # (1, B)
+    o = o.astype(ks.dtype) + p_step * v_newT.astype(ks.dtype)  # (Dh, B)
+
+    contrib = jax.lax.dot_general(
+        o.astype(wo_ref.dtype), wo_ref[...],  # (Dh, D), contract dim 0
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (B, D) f32
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = contrib
+
+    @pl.when(h > 0)
+    def _acc():
+        acc_ref[...] += contrib
+
+    @pl.when(h == H - 1)
+    def _finish():
+        # XLA's head-merge einsum rounds the summed heads to the stream
+        # dtype before the bf16 residual add; LN then promotes to f32
+        sa = acc_ref[...].astype(x.dtype)
+        y = (x + sa).astype(jnp.float32)
+        x1_ref[...] = _layer_norm(y, ln1_ref[...]).astype(x1_ref.dtype)
+
+
+def self_block(step, x, w_qk, w_v, w_o, ln1, k_cache, v_cache, kpadT, qpad,
+               *, interpret=False):
+    """x (B,D) bf16; k_cache (H,S,B,Dh); v_cache (H,Dh,S,B);
+    kpadT (S,B) int32; qpad (1,B) int32.
+    Returns x1 (B,D), k_new (H,B,Dh), v_newT (H,Dh,B)."""
+    B, D = x.shape
+    H, S, Dh = k_cache.shape[0], k_cache.shape[1], k_cache.shape[3]
+    scale = 1.0 / (Dh ** 0.5)
+    kern = functools.partial(_self_block_kernel, H=H, Dh=Dh, scale=scale)
+    x1, k_new, v_newT = pl.pallas_call(
+        kern,
+        grid=(H,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # step (1,)
+            pl.BlockSpec((B, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, D, 2 * Dh), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, D, Dh), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Dh, D), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, S, B, Dh), lambda h: (h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Dh, S, B), lambda h: (h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        # every per-head output squeezes its head dim on the LEADING array
+        # dim (Mosaic requires each block's trailing dims be whole/tiled)
+        out_specs=[
+            pl.BlockSpec((B, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, B, Dh), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Dh, B), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), x.dtype),
+            jax.ShapeDtypeStruct((H, B, Dh), k_cache.dtype),
+            jax.ShapeDtypeStruct((H, Dh, B), v_cache.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(step, jnp.int32).reshape(1), x, w_qk, w_v, w_o, ln1,
+      k_cache, v_cache, kpadT, qpad)
+    return x1, k_new, v_newT
+
+
+# ---------------------------------------------------------------------------
+# K2: fused cross-attention block (shared memory K/V, grid over heads)
+# ---------------------------------------------------------------------------
+
+def _cross_block_kernel(x1_ref, wqc_ref, woc_ref, ln2_ref,
+                        ck_ref, cv_ref, mpad_ref,
+                        x2_ref, acc_ref, *, H, Dh, scale):
+    h = pl.program_id(0)
+    x1 = x1_ref[...]  # (B, D)
+    q = jax.lax.dot_general(
+        x1, wqc_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, Dh)
+    ck = ck_ref[...]  # (T, Dh) bf16
+    logits = jax.lax.dot_general(
+        q.astype(ck.dtype), ck, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (B, T)
+    logits = jnp.where(mpad_ref[...] != 0, NEG_FILL, logits)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(cv_ref.dtype), cv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, Dh)
+    contrib = jax.lax.dot_general(
+        o.astype(woc_ref.dtype), woc_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = contrib
+
+    @pl.when(h > 0)
+    def _acc():
+        acc_ref[...] += contrib
+
+    @pl.when(h == H - 1)
+    def _finish():
+        ca = acc_ref[...].astype(x1.dtype)
+        y = (x1 + ca).astype(jnp.float32)
+        x2_ref[...] = _layer_norm(y, ln2_ref[...]).astype(x2_ref.dtype)
+
+
+def cross_block(x1, w_qc, w_oc, ln2, cross_k, cross_v, mpad,
+                *, interpret=False):
+    """x1 (B,D); cross_k/v (1,H,T,Dh) — ONE utterance's memory shared
+    across all rows (the beam layout; see decode_step's _cross_shared);
+    mpad (1,T) int32."""
+    B, D = x1.shape
+    N, H, T, Dh = cross_k.shape
+    assert N == 1, f"fused cross_block shares one memory; got N={N}"
+    scale = 1.0 / (Dh ** 0.5)
+    kern = functools.partial(_cross_block_kernel, H=H, Dh=Dh, scale=scale)
+    return pl.pallas_call(
+        kern,
+        grid=(H,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, D, Dh), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Dh, D), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, Dh), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, Dh), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, D), lambda h: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D), x1.dtype),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        interpret=interpret,
+    )(x1, w_qc, w_oc, ln2, cross_k[0], cross_v[0], mpad)
+
+
+# ---------------------------------------------------------------------------
+# K3: fused FFN block
+# ---------------------------------------------------------------------------
+
+def _ffn_kernel(x2_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln3_ref, x3_ref):
+    # flax Dense(dtype=stream) rounds each matmul to the stream dtype and
+    # adds the bias there (transformer.py FeedForward); mirror that so the
+    # fused and XLA steps agree to rounding noise at bf16
+    x2 = x2_ref[...]
+    dt = x2.dtype
+    h = jax.lax.dot_general(
+        x2, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + b1_ref[...].astype(dt)
+    h = jnp.maximum(h, 0.0)
+    y = jax.lax.dot_general(
+        h.astype(w2_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + b2_ref[...].astype(dt)
+    y = (x2 + y).astype(jnp.float32)
+    x3_ref[...] = _layer_norm(y, ln3_ref[...]).astype(x3_ref.dtype)
+
+
+def ffn_block(x2, w1, b1, w2, b2, ln3, *, interpret=False):
+    return pl.pallas_call(
+        _ffn_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        interpret=interpret,
+    )(x2, w1, b1, w2, b2, ln3)
+
+
+# ---------------------------------------------------------------------------
+# Whole-step driver
+# ---------------------------------------------------------------------------
+
+class FusedDecoder:
+    """decode_step-equivalent driver over the fused kernels.
+
+    Mirrors EMGModel.decode_step (models/model.py:199-227) outside flax:
+    embedding lookup with the PAD row pinned to zero, the 1/d-scaled
+    sinusoidal PE (both decoder_pe modes), the fused per-layer kernels,
+    the stacked cache writes, and the float32 w_out head. Parity with the
+    XLA step is pinned by tests/test_fused_decode.py.
+
+    Owns its transposed cache layouts (module docstring): callers create
+    caches with `init_cache` and re-order beam rows with `select_rows`.
+    """
+
+    def __init__(self, model_cfg, variables):
+        from emg_tpu.models.positional import sinusoid_table
+        from emg_tpu.text.phonemes import PAD_ID
+
+        self.cfg = model_cfg
+        self.pad_id = PAD_ID
+        L = model_cfg.num_layers_decoder
+        D = model_cfg.model_size
+        dt = (jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16"
+              else jnp.float32)
+        self.dtype = dt
+        self.layers = prepare_fused_params(variables, L, dtype=dt)
+        table = jnp.asarray(
+            variables["params"]["embedding_tgt"]["embedding"], jnp.float32
+        )
+        self.embed = table.at[PAD_ID].set(0.0)
+        self.pe = jnp.asarray(sinusoid_table(5000, D), jnp.float32)
+        self.w_out_k = jnp.asarray(
+            variables["params"]["w_out"]["kernel"], jnp.float32
+        )
+        self.w_out_b = jnp.asarray(
+            variables["params"]["w_out"]["bias"], jnp.float32
+        )
+
+    # -- cache management (fused layouts) -----------------------------------
+    def init_cache(self, batch_size: int, max_len: int):
+        """Zeroed K/V caches in the kernels' layouts:
+        k (L, H, S, B, Dh), v (L, H, Dh, S, B)."""
+        L = self.cfg.num_layers_decoder
+        H = self.cfg.n_heads_decoder
+        Dh = self.cfg.model_size // H
+        return (
+            jnp.zeros((L, H, max_len, batch_size, Dh), self.dtype),
+            jnp.zeros((L, H, Dh, max_len, batch_size), self.dtype),
+        )
+
+    @staticmethod
+    def select_rows(caches, sel):
+        """Re-order the beam-row axis by `sel` (device_beam's cache_sel)."""
+        k_all, v_all = caches
+        return k_all[:, :, :, sel], v_all[..., sel]
+
+    def step(self, token_ids, step, caches, cross_kvs, tokens,
+             memory_pad_mask, *, interpret=False):
+        """Same contract as EMGModel.decode_step: (logits, caches)."""
+        D = self.cfg.model_size
+        x = self.embed[token_ids]  # (B, D) f32
+        if self.cfg.decoder_pe == "reference_batch":
+            x = x + (1.0 / D) * self.pe[: x.shape[0]]
+        else:
+            x = x + (1.0 / D) * jax.lax.dynamic_index_in_dim(
+                self.pe, step, axis=0, keepdims=True
+            )
+        x = x.astype(self.dtype)
+        out, k_news, v_newsT = fused_decode_step(
+            self.layers, x, caches, cross_kvs, step,
+            tokens == self.pad_id, token_ids == self.pad_id,
+            memory_pad_mask, interpret=interpret,
+        )
+        k_all, v_all = caches
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_news[:, :, None].astype(k_all.dtype),
+            (0, 0, step, 0, 0),
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_newsT[:, :, :, None].astype(v_all.dtype),
+            (0, 0, 0, step, 0),
+        )
+        logits = (out.astype(jnp.float32) @ self.w_out_k + self.w_out_b)
+        return logits, (k_all, v_all)
+
+
+def fused_decode_step(layer_params, x, caches, cross_kvs, step,
+                      tokens_pad_mask, query_is_pad, memory_pad_mask,
+                      *, interpret=False):
+    """One token step through all decoder layers via the fused kernels.
+
+    x: (B, D) embedded+PE'd token at the compute dtype.
+    caches: (k_all (L,H,S,B,Dh), v_all (L,H,Dh,S,B)) — read-only here; the
+    new rows are returned for the caller's stacked writes (same contract
+    as TransformerDecoder.decode_step).
+    cross_kvs: per-layer (cross_k, cross_v), each (1, H, T, Dh) — one
+    utterance's memory shared across the beam rows.
+    Returns (out (B, D), k_news (L, H, B, Dh), v_newsT (L, H, Dh, B)).
+    """
+    k_all, v_all = caches
+    B = x.shape[0]
+    S = k_all.shape[2]
+    # masks in the kernels' (S, B) layout
+    kpadT = tokens_pad_mask.astype(jnp.int32).T  # (S, B)
+    qpad = query_is_pad.astype(jnp.int32).reshape(1, B)
+    mpad = memory_pad_mask.astype(jnp.int32)  # (1, T)
+
+    k_news, v_newsT = [], []
+    for i, lp in enumerate(layer_params):
+        x1, k_new, v_newT = self_block(
+            step, x, lp.w_qk, lp.w_v, lp.w_o, lp.ln1, k_all[i], v_all[i],
+            kpadT, qpad, interpret=interpret,
+        )
+        k_news.append(k_new)
+        v_newsT.append(v_newT)
+        ck, cv = cross_kvs[i]
+        x2 = cross_block(
+            x1, lp.w_qc, lp.w_oc, lp.ln2, ck, cv, mpad,
+            interpret=interpret,
+        )
+        x = ffn_block(x2, lp.w1, lp.b1, lp.w2, lp.b2, lp.ln3,
+                      interpret=interpret)
+    return x, jnp.stack(k_news), jnp.stack(v_newsT)

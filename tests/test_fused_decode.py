@@ -1,0 +1,102 @@
+"""Fused decoder token-step kernels vs the XLA decode_step (interpret mode).
+
+The fused path (ops/pallas/fused_decode_step.py) must reproduce
+EMGModel.decode_step — embedding/PE, per-layer self+cross attention with
+the in-register current-token splice, FFN, LayerNorms, cache writes, and
+the float32 head — since the device beam swaps it in wholesale on TPU
+(decode/device_beam.py). The beam's usage pattern is mirrored: the
+encoder memory of ONE utterance is shared across all rows (cross K/V
+leading dim 1) and the beam's per-step cache row re-ordering runs through
+FusedDecoder.select_rows against the XLA gather."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from emg_tpu.config import ModelConfig
+from emg_tpu.models import EMGModel
+from emg_tpu.ops.pallas.fused_decode_step import FusedDecoder
+
+from tests.test_train_step import toy_batch
+
+
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_fused_step_matches_decode_step(compute_dtype):
+    cfg = ModelConfig(
+        model_size=16, feed_forward_layer_size=32,
+        num_layers_encoder=1, num_layers_decoder=2,
+        n_heads_encoder=2, n_heads_decoder=2, relative_distance=8,
+        dropout_model=0.0, dropout_pos_emb=0.0, compute_dtype=compute_dtype,
+    )
+    model = EMGModel(cfg)
+    batch = toy_batch(B=4, n_rows=2, chunk=64, S=10, seed=11)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(11)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    memory, _, src_mask = model.apply(
+        variables, batch.packed_raw, batch.n_rows, batch.offsets,
+        batch.lengths, 16, False, method=model.encode,
+    )
+    # the beam layout: ONE utterance's memory shared across all rows
+    memory, src_mask = memory[:1], src_mask[:1]
+    cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
+
+    B, S = 4, 8
+    tokens = np.asarray(batch.targets[:, :S], np.int32)
+    tokens[2, 3:] = 42  # a row that hits PAD mid-decode
+    tokens = jnp.asarray(tokens)
+
+    caches_ref = model.init_decode_cache(B, S)
+    fused = FusedDecoder(cfg, variables)
+    caches_fused = fused.init_cache(B, S)
+
+    rng = np.random.default_rng(3)
+
+    # f32 pins the math tight; bf16 allows the residual rounding noise of
+    # interpret-mode bf16 vs XLA bf16 einsums accumulated over the layers
+    # (the kernels mirror the XLA path's stream-dtype rounding points, but
+    # the two backends round bf16 contractions differently)
+    rtol = 3e-2 if compute_dtype == "bfloat16" else 2e-5
+    atol = 3e-2 if compute_dtype == "bfloat16" else 1e-4
+    for t in range(S - 1):
+        tok = tokens[:, t]
+        ref_logits, caches_ref = model.apply(
+            variables, tok, t, caches_ref, cross_kvs, tokens, src_mask,
+            method=model.decode_step,
+        )
+        fused_logits, caches_fused = fused.step(
+            tok, t, caches_fused, cross_kvs, tokens, src_mask,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused_logits), np.asarray(ref_logits),
+            rtol=rtol, atol=atol, err_msg=f"step {t}",
+        )
+        # what decoding consumes: the greedy token choice must agree
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(fused_logits), axis=-1),
+            np.argmax(np.asarray(ref_logits), axis=-1),
+            err_msg=f"argmax step {t}",
+        )
+        if t == 3:
+            # mid-search beam re-ordering: duplicate/permute rows the way
+            # device_beam's cache_sel does, through both cache layouts
+            sel = jnp.asarray(rng.integers(0, B, size=B), jnp.int32)
+            caches_ref = jax.tree.map(lambda c: c[:, sel], caches_ref)
+            caches_fused = FusedDecoder.select_rows(caches_fused, sel)
+            tokens = tokens[sel]
+
+    # caches agree too (both layouts store the same new K/V rows):
+    # ref (L, B, H, S, Dh) -> fused k (L, H, S, B, Dh), v (L, H, Dh, S, B)
+    ref_k = np.transpose(np.asarray(caches_ref[0], np.float32), (0, 2, 3, 1, 4))
+    ref_v = np.transpose(np.asarray(caches_ref[1], np.float32), (0, 2, 4, 3, 1))
+    np.testing.assert_allclose(
+        np.asarray(caches_fused[0], np.float32), ref_k, rtol=rtol, atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(caches_fused[1], np.float32), ref_v, rtol=rtol, atol=atol
+    )
