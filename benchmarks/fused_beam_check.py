@@ -148,6 +148,36 @@ def main():
     print(f"beam p50: fused {pf:.2f} ms | xla {px:.2f} ms "
           f"(BeamWidth 100, {S - 1} static steps)")
 
+    # greedy per-row fused path (greedy_decode_cached fused=...)
+    from emg_tpu.decode.greedy import greedy_decode_cached
+    from emg_tpu.ops.pallas.fused_decode_step import maybe_fused_decoder
+
+    gf = maybe_fused_decoder(cfg_model, variables, 1, S, T=MAX_FRAMES,
+                             rows=True)
+    assert gf is not None, "greedy rows kernels fell back on this backend"
+    ref_out, _ = greedy_decode_cached(model, variables, batch, MAX_FRAMES,
+                                      S - 1)
+    got_out, _ = greedy_decode_cached(model, variables, batch, MAX_FRAMES,
+                                      S - 1, fused=gf)
+    agree = (np.asarray(ref_out) == np.asarray(got_out)).all()
+    print("greedy fused-vs-xla matrices equal:", bool(agree))
+
+    def t_greedy(fd):
+        jax.block_until_ready(
+            greedy_decode_cached(model, variables, batch, MAX_FRAMES, S - 1,
+                                 fused=fd)[0])
+        t0 = time.time()
+        for _ in range(5):
+            out, _ = greedy_decode_cached(model, variables, batch,
+                                          MAX_FRAMES, S - 1, fused=fd)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / 5 * 1000.0
+
+    print(f"greedy decode: fused {t_greedy(gf):.2f} ms | "
+          f"xla {t_greedy(None):.2f} ms (B=1, {S - 1} steps)")
+    if not agree:
+        raise SystemExit("greedy fused path diverged")
+
 
 if __name__ == "__main__":
     main()

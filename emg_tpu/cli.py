@@ -96,12 +96,24 @@ def evaluate_saved_greedy_search(cfg: Config):
     )
     references, predictions = [], []
     running_total = running_correct = 0
+    fused, fused_tried = None, not cfg.decode.fused_step
     for i in range(len(testset)):
         pb, max_frames, raw = _prepare_single(cfg, testset, i)
+        if not fused_tried:
+            # fused Pallas token step on TPU (ops/pallas/fused_decode_step);
+            # probed once at this eval's shapes, None -> XLA decode_step
+            from emg_tpu.ops.pallas.fused_decode_step import maybe_fused_decoder
+
+            fused = maybe_fused_decoder(
+                model.cfg, variables, 1, pb.targets.shape[1],
+                T=max_frames, rows=True,
+            )
+            fused_tried = True
         S_true = int(raw["phonemes_int_lengths"][0])
         target_len = S_true - 1
         strings, matrix = run_greedy(
-            model, variables, pb, max_frames, target_len, pb.targets.shape[1] - 1
+            model, variables, pb, max_frames, target_len,
+            pb.targets.shape[1] - 1, fused=fused,
         )
         y = np.full((1, S_true), 42, np.int64)
         y[0, : S_true] = raw["phonemes_int"][0]

@@ -93,54 +93,15 @@ class DeviceBeamSearcher:
 
         self._fused = None
         # the fused kernels read plain (H, D, Dh) weight tensors, so the
-        # int8-quantized layout (dict of values+scales) keeps the XLA step
+        # int8-quantized layout (dict of values+scales) keeps the XLA step.
+        # The probe also covers the vmapped form (search_many / continuous
+        # server lanes run the step under vmap, which prepends a grid dim)
         if cfg.fused_step and not cfg.quantize_int8:
-            from emg_tpu.ops.pallas.fused_decode_step import (
-                FusedDecoder,
-                flash_available,
+            from emg_tpu.ops.pallas.fused_decode_step import maybe_fused_decoder
+
+            self._fused = maybe_fused_decoder(
+                model.cfg, self.variables, W, self.S, vmapped=True
             )
-
-            if flash_available():
-                self._fused = FusedDecoder(model.cfg, self.variables)
-                try:
-                    self._probe_fused()
-                except Exception as e:  # Mosaic lowering/VMEM rejection
-                    import warnings
-
-                    warnings.warn(
-                        "fused decode-step kernels failed to compile on "
-                        f"this backend ({type(e).__name__}); using the XLA "
-                        "decode_step instead"
-                    )
-                    self._fused = None
-
-    def _probe_fused(self):
-        """Compile ONE fused step at this search's real shapes so a Mosaic
-        lowering failure falls back to the XLA step instead of breaking the
-        first search launch."""
-        H = self.model.cfg.n_heads_decoder
-        Dh = self.model.cfg.model_size // H
-        L = self.model.cfg.num_layers_decoder
-        dt = self._fused.dtype
-        T = 64
-        caches = self._fused.init_cache(self.W, self.S)
-        cross_kvs = [
-            (jnp.zeros((1, H, T, Dh), dt), jnp.zeros((1, H, T, Dh), dt))
-            for _ in range(L)
-        ]
-        tok = jnp.zeros((self.W,), jnp.int32)
-        tokens = jnp.zeros((self.W, self.S), jnp.int32)
-        mpad = jnp.zeros((1, T), bool)
-        jax.jit(self._fused.step).lower(
-            tok, jnp.int32(0), caches, cross_kvs, tokens, mpad
-        ).compile()
-        # search_many and the continuous server run the step under vmap
-        # (pallas batching prepends a grid dim) — probe that lowering too
-        two = lambda x: jnp.stack([x, x])
-        jax.jit(jax.vmap(self._fused.step)).lower(
-            two(tok), jnp.zeros((2,), jnp.int32), jax.tree.map(two, caches),
-            jax.tree.map(two, cross_kvs), two(tokens), two(mpad),
-        ).compile()
 
     # ------------------------------------------------------------------
     def _make_ctx(self, variables, batch: PackedBatch, max_len):

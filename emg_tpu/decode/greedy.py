@@ -93,11 +93,18 @@ def greedy_decode_cached(
     max_frames: int,
     max_steps: int,
     num_steps=None,
+    fused=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KV-cached greedy decode: identical outputs to ``greedy_decode`` at
     O(S) decoder cost per step instead of O(S^2) — the serving-path upgrade
     over the reference's full-prefix re-run (greedy_search.py:21, SURVEY.md
-    §3.2 'no KV cache')."""
+    §3.2 'no KV cache').
+
+    ``fused``: an optional ops.pallas.fused_decode_step.FusedDecoder (built
+    for the SAME variables, e.g. via maybe_fused_decoder with rows=True) —
+    the token step then runs as fused Pallas kernels over per-row memory
+    instead of the XLA decode_step's op soup. Construct it OUTSIDE any jit
+    around this function (its weight re-layout is loop-invariant)."""
     S = max_steps + 1
     if num_steps is None:
         num_steps = max_steps
@@ -111,7 +118,12 @@ def greedy_decode_cached(
     )
     B = memory.shape[0]
     cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
-    caches = model.init_decode_cache(B, S)
+    if fused is not None:
+        cross_rows = fused.prepare_cross_rows(cross_kvs)
+        mpadT = src_pad_mask.T  # loop-invariant (T, B)
+        caches = fused.init_cache(B, S)
+    else:
+        caches = model.init_decode_cache(B, S)
 
     tokens0 = jnp.full((B, S), PAD_ID, jnp.int32).at[:, 0].set(START_ID)
     ended0 = jnp.zeros((B,), bool)
@@ -123,10 +135,15 @@ def greedy_decode_cached(
     def body(carry):
         tokens, ended, s, caches = carry
         token_in = jax.lax.dynamic_index_in_dim(tokens, s - 1, axis=1, keepdims=False)
-        logits, caches = model.apply(
-            variables, token_in, s - 1, caches, cross_kvs, tokens, src_pad_mask,
-            method=model.decode_step,
-        )
+        if fused is not None:
+            logits, caches = fused.step_rows(
+                token_in, s - 1, caches, cross_rows, tokens, mpadT
+            )
+        else:
+            logits, caches = model.apply(
+                variables, token_in, s - 1, caches, cross_kvs, tokens,
+                src_pad_mask, method=model.decode_step,
+            )
         predicted = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tokens = jnp.where(jnp.arange(S)[None, :] == s, predicted[:, None], tokens)
         ended = ended | (predicted == END_ID)
@@ -155,12 +172,16 @@ def matrix_to_phone_strings(matrix: np.ndarray) -> List[str]:
 
 def run_greedy(model, variables, batch: PackedBatch, max_frames: int,
                target_len: int, static_cap: Optional[int] = None,
-               use_cache: bool = True) -> Tuple[List[str], np.ndarray]:
+               use_cache: bool = True, fused=None) -> Tuple[List[str], np.ndarray]:
     """Host wrapper mirroring the reference signature: returns
     (phone strings, accuracy matrix cut to target_len+1 columns).
     ``target_len`` is tgt.shape[1] (the padded target length minus <S>)."""
     cap = static_cap if static_cap is not None else target_len
-    fn = greedy_decode_cached if use_cache else greedy_decode
-    out, _ = fn(model, variables, batch, max_frames, cap, num_steps=target_len)
+    if use_cache:
+        out, _ = greedy_decode_cached(model, variables, batch, max_frames,
+                                      cap, num_steps=target_len, fused=fused)
+    else:
+        out, _ = greedy_decode(model, variables, batch, max_frames, cap,
+                               num_steps=target_len)
     out = np.asarray(out)[:, : target_len + 1]
     return matrix_to_phone_strings(out), out

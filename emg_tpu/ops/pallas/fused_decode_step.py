@@ -344,6 +344,87 @@ def cross_block(x1, w_qc, w_oc, ln2, cross_k, cross_v, mpad,
 
 
 # ---------------------------------------------------------------------------
+# K2b: per-row cross-attention block (batched utterances — the greedy path)
+# ---------------------------------------------------------------------------
+
+def _cross_block_rows_kernel(x1_ref, wqc_ref, woc_ref, ln2_ref,
+                             ck_ref, cv_ref, mpadT_ref,
+                             x2_ref, acc_ref, *, H, Dh, scale):
+    """Each row attends its OWN memory: ck (T, B, Dh), cv (Dh, T, B),
+    mpadT (T, B) — the same transposed layouts as the self block, minus
+    the current-token splice (memory K/V are complete)."""
+    h = pl.program_id(0)
+    x1 = x1_ref[...]  # (B, D)
+    q = jax.lax.dot_general(
+        x1, wqc_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, Dh)
+    ck = ck_ref[...]  # (T, B, Dh)
+    q_r = q.astype(ck.dtype)
+    logits = jnp.sum(
+        q_r[None].astype(jnp.float32) * ck.astype(jnp.float32), axis=-1
+    ) * scale  # (T, B)
+    logits = jnp.where(mpadT_ref[...] != 0, NEG_FILL, logits)
+    m = jnp.max(logits, axis=0, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=0, keepdims=True)  # (T, B) f32
+    p_r = p.astype(ck.dtype)
+    o = jnp.sum(
+        p_r[None].astype(jnp.float32) * cv_ref[...].astype(jnp.float32),
+        axis=1,
+    ).astype(ck.dtype)  # (Dh, B)
+    contrib = jax.lax.dot_general(
+        o.astype(woc_ref.dtype), woc_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, D)
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = contrib
+
+    @pl.when(h > 0)
+    def _acc():
+        acc_ref[...] += contrib
+
+    @pl.when(h == H - 1)
+    def _finish():
+        ca = acc_ref[...].astype(x1.dtype)
+        y = (x1 + ca).astype(jnp.float32)
+        x2_ref[...] = _layer_norm(y, ln2_ref[...]).astype(x2_ref.dtype)
+
+
+def cross_block_rows(x1, w_qc, w_oc, ln2, ck_t, cv_t, mpadT,
+                     *, interpret=False):
+    """x1 (B,D); ck_t (H,T,B,Dh); cv_t (H,Dh,T,B); mpadT (T,B) int32."""
+    B, D = x1.shape
+    H, T, _, Dh = ck_t.shape
+    scale = 1.0 / (Dh ** 0.5)
+    kern = functools.partial(_cross_block_rows_kernel, H=H, Dh=Dh, scale=scale)
+    return pl.pallas_call(
+        kern,
+        grid=(H,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, D, Dh), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Dh, D), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, B, Dh), lambda h: (h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Dh, T, B), lambda h: (h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, B), lambda h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, D), lambda h: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D), x1.dtype),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        interpret=interpret,
+    )(x1, w_qc, w_oc, ln2, ck_t, cv_t, mpadT)
+
+
+# ---------------------------------------------------------------------------
 # K3: fused FFN block
 # ---------------------------------------------------------------------------
 
@@ -400,12 +481,13 @@ class FusedDecoder:
     caches with `init_cache` and re-order beam rows with `select_rows`.
     """
 
-    def __init__(self, model_cfg, variables):
+    def __init__(self, model_cfg, variables, interpret: bool = False):
         from emg_tpu.models.positional import sinusoid_table
         from emg_tpu.text.phonemes import PAD_ID
 
         self.cfg = model_cfg
         self.pad_id = PAD_ID
+        self.interpret = interpret  # default for step/step_rows (CPU tests)
         L = model_cfg.num_layers_decoder
         D = model_cfg.model_size
         dt = (jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16"
@@ -442,9 +524,17 @@ class FusedDecoder:
         k_all, v_all = caches
         return k_all[:, :, :, sel], v_all[..., sel]
 
-    def step(self, token_ids, step, caches, cross_kvs, tokens,
-             memory_pad_mask, *, interpret=False):
-        """Same contract as EMGModel.decode_step: (logits, caches)."""
+    @staticmethod
+    def prepare_cross_rows(cross_kvs):
+        """Per-row memory K/V (the model's (B, H, T, Dh) project_cross_kvs
+        output) re-laid into the kernels' transposed forms, ONCE per batch:
+        per layer (ck_t (H, T, B, Dh), cv_t (H, Dh, T, B))."""
+        return [
+            (jnp.transpose(ck, (1, 2, 0, 3)), jnp.transpose(cv, (1, 3, 2, 0)))
+            for ck, cv in cross_kvs
+        ]
+
+    def _embed_pe(self, token_ids, step):
         D = self.cfg.model_size
         x = self.embed[token_ids]  # (B, D) f32
         if self.cfg.decoder_pe == "reference_batch":
@@ -453,12 +543,9 @@ class FusedDecoder:
             x = x + (1.0 / D) * jax.lax.dynamic_index_in_dim(
                 self.pe, step, axis=0, keepdims=True
             )
-        x = x.astype(self.dtype)
-        out, k_news, v_newsT = fused_decode_step(
-            self.layers, x, caches, cross_kvs, step,
-            tokens == self.pad_id, token_ids == self.pad_id,
-            memory_pad_mask, interpret=interpret,
-        )
+        return x.astype(self.dtype)
+
+    def _finish_step(self, out, k_news, v_newsT, caches, step):
         k_all, v_all = caches
         k_all = jax.lax.dynamic_update_slice(
             k_all, k_news[:, :, None].astype(k_all.dtype),
@@ -470,6 +557,90 @@ class FusedDecoder:
         )
         logits = (out.astype(jnp.float32) @ self.w_out_k + self.w_out_b)
         return logits, (k_all, v_all)
+
+    def step(self, token_ids, step, caches, cross_kvs, tokens,
+             memory_pad_mask, *, interpret=None):
+        """Same contract as EMGModel.decode_step: (logits, caches).
+        cross_kvs per layer (1, H, T, Dh) — shared beam memory."""
+        x = self._embed_pe(token_ids, step)
+        out, k_news, v_newsT = fused_decode_step(
+            self.layers, x, caches, cross_kvs, step,
+            tokens == self.pad_id, token_ids == self.pad_id,
+            memory_pad_mask,
+            interpret=self.interpret if interpret is None else interpret,
+        )
+        return self._finish_step(out, k_news, v_newsT, caches, step)
+
+    def step_rows(self, token_ids, step, caches, cross_rows, tokens,
+                  memory_pad_maskT, *, interpret=None):
+        """Per-row-memory variant (batched greedy): cross_rows from
+        `prepare_cross_rows`, memory_pad_maskT already transposed (T, B)
+        (loop-invariant — transpose once outside the decode loop)."""
+        x = self._embed_pe(token_ids, step)
+        out, k_news, v_newsT = fused_decode_step_rows(
+            self.layers, x, caches, cross_rows, step,
+            tokens == self.pad_id, token_ids == self.pad_id,
+            memory_pad_maskT,
+            interpret=self.interpret if interpret is None else interpret,
+        )
+        return self._finish_step(out, k_news, v_newsT, caches, step)
+
+    def probe(self, B: int, S: int, T: int = 64, *, rows: bool = False,
+              vmapped: bool = False):
+        """Compile one step at the caller's real shapes so a Mosaic
+        lowering/VMEM rejection surfaces here (to be caught and fallen
+        back from) instead of breaking the first decode launch."""
+        H = self.cfg.n_heads_decoder
+        Dh = self.cfg.model_size // H
+        L = self.cfg.num_layers_decoder
+        dt = self.dtype
+        caches = self.init_cache(B, S)
+        tok = jnp.zeros((B,), jnp.int32)
+        tokens = jnp.zeros((B, S), jnp.int32)
+        if rows:
+            cross = [
+                (jnp.zeros((H, T, B, Dh), dt), jnp.zeros((H, Dh, T, B), dt))
+                for _ in range(L)
+            ]
+            mpad = jnp.zeros((T, B), bool)
+            fn = self.step_rows
+        else:
+            cross = [
+                (jnp.zeros((1, H, T, Dh), dt), jnp.zeros((1, H, T, Dh), dt))
+                for _ in range(L)
+            ]
+            mpad = jnp.zeros((1, T), bool)
+            fn = self.step
+        jax.jit(fn).lower(
+            tok, jnp.int32(0), caches, cross, tokens, mpad
+        ).compile()
+        if vmapped:
+            two = lambda x: jnp.stack([x, x])
+            jax.jit(jax.vmap(fn)).lower(
+                two(tok), jnp.zeros((2,), jnp.int32),
+                jax.tree.map(two, caches), jax.tree.map(two, cross),
+                two(tokens), two(mpad),
+            ).compile()
+
+
+def maybe_fused_decoder(model_cfg, variables, B: int, S: int, T: int = 64,
+                        *, rows: bool = False, vmapped: bool = False):
+    """A FusedDecoder if the platform supports it AND its kernels compile
+    at these shapes; None otherwise (callers keep the XLA decode_step)."""
+    if not flash_available():
+        return None
+    fd = FusedDecoder(model_cfg, variables)
+    try:
+        fd.probe(B, S, T, rows=rows, vmapped=vmapped)
+    except Exception as e:  # Mosaic lowering/VMEM rejection
+        import warnings
+
+        warnings.warn(
+            "fused decode-step kernels failed to compile on this backend "
+            f"({type(e).__name__}); using the XLA decode_step instead"
+        )
+        return None
+    return fd
 
 
 def fused_decode_step(layer_params, x, caches, cross_kvs, step,
@@ -504,6 +675,36 @@ def fused_decode_step(layer_params, x, caches, cross_kvs, step,
         ck, cv = cross_kvs[i]
         x2 = cross_block(
             x1, lp.w_qc, lp.w_oc, lp.ln2, ck, cv, mpad,
+            interpret=interpret,
+        )
+        x = ffn_block(x2, lp.w1, lp.b1, lp.w2, lp.b2, lp.ln3,
+                      interpret=interpret)
+    return x, jnp.stack(k_news), jnp.stack(v_newsT)
+
+
+def fused_decode_step_rows(layer_params, x, caches, cross_rows, step,
+                           tokens_pad_mask, query_is_pad, memory_pad_maskT,
+                           *, interpret=False):
+    """fused_decode_step with PER-ROW memory (batched greedy): cross_rows
+    per layer (ck_t (H,T,B,Dh), cv_t (H,Dh,T,B)) from prepare_cross_rows;
+    memory_pad_maskT (T, B)."""
+    k_all, v_all = caches
+    B = x.shape[0]
+    kpadT = tokens_pad_mask.astype(jnp.int32).T  # (S, B)
+    qpad = query_is_pad.astype(jnp.int32).reshape(1, B)
+    mpadT = memory_pad_maskT.astype(jnp.int32)  # (T, B)
+
+    k_news, v_newsT = [], []
+    for i, lp in enumerate(layer_params):
+        x1, k_new, v_newT = self_block(
+            step, x, lp.w_qk, lp.w_v, lp.w_o, lp.ln1, k_all[i], v_all[i],
+            kpadT, qpad, interpret=interpret,
+        )
+        k_news.append(k_new)
+        v_newsT.append(v_newT)
+        ck_t, cv_t = cross_rows[i]
+        x2 = cross_block_rows(
+            x1, lp.w_qc, lp.w_oc, lp.ln2, ck_t, cv_t, mpadT,
             interpret=interpret,
         )
         x = ffn_block(x2, lp.w1, lp.b1, lp.w2, lp.b2, lp.ln3,

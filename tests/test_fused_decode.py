@@ -100,3 +100,29 @@ def test_fused_step_matches_decode_step(compute_dtype):
     np.testing.assert_allclose(
         np.asarray(caches_fused[1], np.float32), ref_v, rtol=rtol, atol=atol
     )
+
+
+def test_fused_greedy_matches_xla():
+    """The per-row-memory fused path (greedy_decode_cached fused=...)
+    returns the exact accuracy matrix of the XLA decode_step path."""
+    from emg_tpu.decode.greedy import greedy_decode_cached
+
+    cfg = ModelConfig(
+        model_size=16, feed_forward_layer_size=32,
+        num_layers_encoder=1, num_layers_decoder=2,
+        n_heads_encoder=2, n_heads_decoder=2, relative_distance=8,
+        dropout_model=0.0, dropout_pos_emb=0.0, compute_dtype="float32",
+    )
+    model = EMGModel(cfg)
+    batch = toy_batch(B=4, n_rows=2, chunk=64, S=10, seed=5)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(5)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    ref_out, ref_raw = greedy_decode_cached(model, variables, batch, 16, 9)
+    fused = FusedDecoder(cfg, variables, interpret=True)
+    got_out, got_raw = greedy_decode_cached(model, variables, batch, 16, 9,
+                                            fused=fused)
+    np.testing.assert_array_equal(np.asarray(got_out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(got_raw), np.asarray(ref_raw))
