@@ -92,11 +92,11 @@ class DeviceBeamSearcher:
         self._vsearch_fn = None
 
         self._fused = None
-        # the fused kernels read plain (H, D, Dh) weight tensors, so the
-        # int8-quantized layout (dict of values+scales) keeps the XLA step.
+        # fused Pallas token step; composes with --decode.quantize_int8
+        # (Int8Tensor weights dequantize IN-KERNEL, so HBM moves int8).
         # The probe also covers the vmapped form (search_many / continuous
         # server lanes run the step under vmap, which prepends a grid dim)
-        if cfg.fused_step and not cfg.quantize_int8:
+        if cfg.fused_step:
             from emg_tpu.ops.pallas.fused_decode_step import maybe_fused_decoder
 
             self._fused = maybe_fused_decoder(

@@ -63,8 +63,18 @@ STRUCT = -1e30  # structural exclusion (exp -> exactly 0 in f32)
 from emg_tpu.ops.pallas.flash_attention import flash_available  # noqa: E402,F401
 
 
+class QuantTensor(NamedTuple):
+    """An int8 weight + its per-output-channel scale, in kernel layout.
+    Dequantized IN-KERNEL with the exact Int8Tensor.__jax_array__ formula
+    (utils/quantize.py) so HBM->VMEM moves int8 while the MXU sees the
+    stream dtype — combining the fused step with --decode.quantize_int8."""
+
+    data: jnp.ndarray  # int8, same layout as the bf16 weight it replaces
+    scale: jnp.ndarray  # f32, broadcastable (keepdims over contraction)
+
+
 class FusedLayerParams(NamedTuple):
-    w_qk: jnp.ndarray  # (H, D, 2Dh) bf16 [q|k] per head
+    w_qk: jnp.ndarray  # (H, D, 2Dh) bf16 [q|k] per head — or QuantTensor
     w_v: jnp.ndarray  # (H, D, Dh) bf16 (applied transposed in-kernel)
     w_o: jnp.ndarray  # (H, Dh, D) bf16
     ln1: jnp.ndarray  # (2, D) f32 [scale; bias]
@@ -78,17 +88,43 @@ class FusedLayerParams(NamedTuple):
     ln3: jnp.ndarray  # (2, D) f32
 
 
+def _is_quant(w) -> bool:
+    return isinstance(w, QuantTensor)
+
+
 def prepare_fused_params(variables, num_layers: int,
                          dtype=jnp.bfloat16) -> list:
-    """Stack each decoder layer's weights into kernel-ready layouts."""
+    """Stack each decoder layer's weights into kernel-ready layouts.
+
+    Weights already quantized by utils/quantize.quantize_decoder_int8
+    (Int8Tensor leaves) keep their int8 data + scales as QuantTensors;
+    plain leaves are cast to ``dtype``."""
+    from emg_tpu.utils.quantize import Int8Tensor
+
     params = variables["params"]["transformerDecoder"]
+
+    def w3(leaf):  # (H, Din, Dout) attention weight
+        if isinstance(leaf, Int8Tensor):
+            return QuantTensor(leaf.data, jnp.asarray(leaf.scale, jnp.float32))
+        return jnp.asarray(leaf).astype(dtype)
+
+    def cat_qk(wq, wk):  # fuse q|k along the output dim, int8-aware
+        if isinstance(wq, Int8Tensor):
+            return QuantTensor(
+                jnp.concatenate([wq.data, wk.data], axis=2),
+                jnp.concatenate(
+                    [jnp.asarray(wq.scale, jnp.float32),
+                     jnp.asarray(wk.scale, jnp.float32)], axis=2,
+                ),
+            )
+        return jnp.concatenate(
+            [jnp.asarray(wq), jnp.asarray(wk)], axis=2
+        ).astype(dtype)
+
     out = []
     for i in range(num_layers):
         lp = params[f"layer{i}"]
         sa, ca = lp["self_attn"], lp["multihead_attn"]
-        w_qk = jnp.concatenate(
-            [jnp.asarray(sa["w_q"]), jnp.asarray(sa["w_k"])], axis=2,
-        ).astype(dtype)  # (H, D, 2Dh)
 
         def ln(mod):
             return jnp.stack(
@@ -98,16 +134,16 @@ def prepare_fused_params(variables, num_layers: int,
 
         ff = lp["ff"]
         out.append(FusedLayerParams(
-            w_qk=w_qk,
-            w_v=jnp.asarray(sa["w_v"]).astype(dtype),
-            w_o=jnp.asarray(sa["w_o"]).astype(dtype),
+            w_qk=cat_qk(sa["w_q"], sa["w_k"]),
+            w_v=w3(sa["w_v"]),
+            w_o=w3(sa["w_o"]),
             ln1=ln(lp["norm1"]),
-            w_qc=jnp.asarray(ca["w_q"]).astype(dtype),
-            w_oc=jnp.asarray(ca["w_o"]).astype(dtype),
+            w_qc=w3(ca["w_q"]),
+            w_oc=w3(ca["w_o"]),
             ln2=ln(lp["norm2"]),
-            w1=jnp.asarray(ff["linear1"]["kernel"]).astype(dtype),
+            w1=w3(ff["linear1"]["kernel"]),
             b1=jnp.asarray(ff["linear1"]["bias"], jnp.float32)[None, :],
-            w2=jnp.asarray(ff["linear2"]["kernel"]).astype(dtype),
+            w2=w3(ff["linear2"]["kernel"]),
             b2=jnp.asarray(ff["linear2"]["bias"], jnp.float32)[None, :],
             ln3=ln(lp["norm3"]),
         ))
@@ -121,22 +157,63 @@ def _layer_norm(y, ln_ref, eps=1e-5):
     return ((y - mean) / jnp.sqrt(var + eps)) * ln_ref[0][None, :] + ln_ref[1][None, :]
 
 
+def _deq(w_ref, s_ref, quant: bool, dt):
+    """Read a weight block, dequantizing int8 in-kernel when quantized —
+    the exact Int8Tensor.__jax_array__ formula (utils/quantize.py:58-61),
+    so the fused and XLA int8 paths see bit-identical weights."""
+    w = w_ref[...]
+    if quant:
+        return w.astype(dt) * s_ref[...].astype(dt)
+    return w
+
+
+def _wq_arrays(w, headed: bool):
+    """(values-to-pass, specs, quant flag) for a maybe-quantized weight.
+    ``headed``: per-head (H, Din, Dout) tensors walked by a grid over H
+    (the head dim squeezed on the leading block dim); otherwise whole-array
+    blocks for the gridless FFN kernel."""
+    if _is_quant(w):
+        d, s = w.data, w.scale
+        if headed:
+            specs = [
+                pl.BlockSpec((None,) + d.shape[1:], lambda h: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None,) + s.shape[1:], lambda h: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        return [d, s], specs, True
+    dummy = jnp.zeros((1, 1), jnp.float32)
+    if headed:
+        specs = [
+            pl.BlockSpec((None,) + w.shape[1:], lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda h: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    return [w, dummy], specs, False
+
+
 # ---------------------------------------------------------------------------
 # K1: fused self-attention block (grid over heads, accumulate w_o output)
 # ---------------------------------------------------------------------------
 
-def _self_block_kernel(step_ref, x_ref, wqk_ref, wv_ref, wo_ref, ln1_ref,
+def _self_block_kernel(step_ref, x_ref, wqk_ref, sqk_ref, wv_ref, sv_ref,
+                       wo_ref, so_ref, ln1_ref,
                        k_ref, v_ref, kpad_ref, qpad_ref,
                        x1_ref, knew_ref, vnewT_ref, acc_ref,
-                       *, H, Dh, scale):
+                       *, H, Dh, scale, q_qk, q_v, q_o):
     h = pl.program_id(0)
     x = x_ref[...]  # (B, D) bf16
     B = x.shape[0]
     S = k_ref.shape[0]  # k block (S, B, Dh)
     step = step_ref[0]
+    dt = x.dtype
 
     qk = jax.lax.dot_general(
-        x, wqk_ref[...],  # (D, 2Dh) — None head dim squeezed by BlockSpec
+        x, _deq(wqk_ref, sqk_ref, q_qk, dt),  # (D, 2Dh) — head dim squeezed
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # (B, 2Dh) f32
     q = qk[:, :Dh]
@@ -144,7 +221,7 @@ def _self_block_kernel(step_ref, x_ref, wqk_ref, wv_ref, wo_ref, ln1_ref,
     # the new V row comes out directly transposed, (Dh, B) = w_v^T x^T, so
     # the splice below and the (Dh, S, B) cache write need no transposes
     v_newT = jax.lax.dot_general(
-        wv_ref[...], x, (((0,), (1,)), ((), ())),
+        _deq(wv_ref, sv_ref, q_v, dt), x, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Dh, B) f32
     knew_ref[...] = k_new.astype(knew_ref.dtype)
@@ -191,8 +268,9 @@ def _self_block_kernel(step_ref, x_ref, wqk_ref, wv_ref, wo_ref, ln1_ref,
     ).astype(ks.dtype)  # (1, B)
     o = o.astype(ks.dtype) + p_step * v_newT.astype(ks.dtype)  # (Dh, B)
 
+    wo = _deq(wo_ref, so_ref, q_o, dt)
     contrib = jax.lax.dot_general(
-        o.astype(wo_ref.dtype), wo_ref[...],  # (Dh, D), contract dim 0
+        o.astype(wo.dtype), wo,  # (Dh, D), contract dim 0
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # (B, D) f32
 
@@ -216,24 +294,23 @@ def _self_block_kernel(step_ref, x_ref, wqk_ref, wv_ref, wo_ref, ln1_ref,
 def self_block(step, x, w_qk, w_v, w_o, ln1, k_cache, v_cache, kpadT, qpad,
                *, interpret=False):
     """x (B,D) bf16; k_cache (H,S,B,Dh); v_cache (H,Dh,S,B);
-    kpadT (S,B) int32; qpad (1,B) int32.
+    kpadT (S,B) int32; qpad (1,B) int32. Weights may be QuantTensors.
     Returns x1 (B,D), k_new (H,B,Dh), v_newT (H,Dh,B)."""
     B, D = x.shape
     H, S, Dh = k_cache.shape[0], k_cache.shape[1], k_cache.shape[3]
     scale = 1.0 / (Dh ** 0.5)
-    kern = functools.partial(_self_block_kernel, H=H, Dh=Dh, scale=scale)
+    vqk, sqk, q_qk = _wq_arrays(w_qk, headed=True)
+    vv, sv, q_v = _wq_arrays(w_v, headed=True)
+    vo, so, q_o = _wq_arrays(w_o, headed=True)
+    kern = functools.partial(_self_block_kernel, H=H, Dh=Dh, scale=scale,
+                             q_qk=q_qk, q_v=q_v, q_o=q_o)
     x1, k_new, v_newT = pl.pallas_call(
         kern,
         grid=(H,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # step (1,)
             pl.BlockSpec((B, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, D, 2 * Dh), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, D, Dh), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, Dh, D), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *sqk, *sv, *so,
             pl.BlockSpec((2, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, S, B, Dh), lambda h: (h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -258,7 +335,7 @@ def self_block(step, x, w_qk, w_v, w_o, ln1, k_cache, v_cache, kpadT, qpad,
         ],
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(step, jnp.int32).reshape(1), x, w_qk, w_v, w_o, ln1,
+    )(jnp.asarray(step, jnp.int32).reshape(1), x, *vqk, *vv, *vo, ln1,
       k_cache, v_cache, kpadT, qpad)
     return x1, k_new, v_newT
 
@@ -267,13 +344,14 @@ def self_block(step, x, w_qk, w_v, w_o, ln1, k_cache, v_cache, kpadT, qpad,
 # K2: fused cross-attention block (shared memory K/V, grid over heads)
 # ---------------------------------------------------------------------------
 
-def _cross_block_kernel(x1_ref, wqc_ref, woc_ref, ln2_ref,
+def _cross_block_kernel(x1_ref, wqc_ref, sqc_ref, woc_ref, soc_ref, ln2_ref,
                         ck_ref, cv_ref, mpad_ref,
-                        x2_ref, acc_ref, *, H, Dh, scale):
+                        x2_ref, acc_ref, *, H, Dh, scale, q_qc, q_oc):
     h = pl.program_id(0)
     x1 = x1_ref[...]  # (B, D)
+    dt = x1.dtype
     q = jax.lax.dot_general(
-        x1, wqc_ref[...], (((1,), (0,)), ((), ())),
+        x1, _deq(wqc_ref, sqc_ref, q_qc, dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, Dh)
     ck = ck_ref[...]  # (T, Dh) bf16
@@ -289,8 +367,9 @@ def _cross_block_kernel(x1_ref, wqc_ref, woc_ref, ln2_ref,
         p.astype(cv_ref.dtype), cv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, Dh)
+    woc = _deq(woc_ref, soc_ref, q_oc, dt)
     contrib = jax.lax.dot_general(
-        o.astype(woc_ref.dtype), woc_ref[...], (((1,), (0,)), ((), ())),
+        o.astype(woc.dtype), woc, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -313,21 +392,21 @@ def cross_block(x1, w_qc, w_oc, ln2, cross_k, cross_v, mpad,
                 *, interpret=False):
     """x1 (B,D); cross_k/v (1,H,T,Dh) — ONE utterance's memory shared
     across all rows (the beam layout; see decode_step's _cross_shared);
-    mpad (1,T) int32."""
+    mpad (1,T) int32. Weights may be QuantTensors."""
     B, D = x1.shape
     N, H, T, Dh = cross_k.shape
     assert N == 1, f"fused cross_block shares one memory; got N={N}"
     scale = 1.0 / (Dh ** 0.5)
-    kern = functools.partial(_cross_block_kernel, H=H, Dh=Dh, scale=scale)
+    vqc, sqc, q_qc = _wq_arrays(w_qc, headed=True)
+    voc, soc, q_oc = _wq_arrays(w_oc, headed=True)
+    kern = functools.partial(_cross_block_kernel, H=H, Dh=Dh, scale=scale,
+                             q_qc=q_qc, q_oc=q_oc)
     return pl.pallas_call(
         kern,
         grid=(H,),
         in_specs=[
             pl.BlockSpec((B, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, D, Dh), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, Dh, D), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *sqc, *soc,
             pl.BlockSpec((2, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, T, Dh), lambda h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -340,23 +419,24 @@ def cross_block(x1, w_qc, w_oc, ln2, cross_k, cross_v, mpad,
         out_shape=jax.ShapeDtypeStruct((B, D), x1.dtype),
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
         interpret=interpret,
-    )(x1, w_qc, w_oc, ln2, cross_k[0], cross_v[0], mpad)
+    )(x1, *vqc, *voc, ln2, cross_k[0], cross_v[0], mpad)
 
 
 # ---------------------------------------------------------------------------
 # K2b: per-row cross-attention block (batched utterances — the greedy path)
 # ---------------------------------------------------------------------------
 
-def _cross_block_rows_kernel(x1_ref, wqc_ref, woc_ref, ln2_ref,
-                             ck_ref, cv_ref, mpadT_ref,
-                             x2_ref, acc_ref, *, H, Dh, scale):
+def _cross_block_rows_kernel(x1_ref, wqc_ref, sqc_ref, woc_ref, soc_ref,
+                             ln2_ref, ck_ref, cv_ref, mpadT_ref,
+                             x2_ref, acc_ref, *, H, Dh, scale, q_qc, q_oc):
     """Each row attends its OWN memory: ck (T, B, Dh), cv (Dh, T, B),
     mpadT (T, B) — the same transposed layouts as the self block, minus
     the current-token splice (memory K/V are complete)."""
     h = pl.program_id(0)
     x1 = x1_ref[...]  # (B, D)
+    dt = x1.dtype
     q = jax.lax.dot_general(
-        x1, wqc_ref[...], (((1,), (0,)), ((), ())),
+        x1, _deq(wqc_ref, sqc_ref, q_qc, dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, Dh)
     ck = ck_ref[...]  # (T, B, Dh)
@@ -373,8 +453,9 @@ def _cross_block_rows_kernel(x1_ref, wqc_ref, woc_ref, ln2_ref,
         p_r[None].astype(jnp.float32) * cv_ref[...].astype(jnp.float32),
         axis=1,
     ).astype(ck.dtype)  # (Dh, B)
+    woc = _deq(woc_ref, soc_ref, q_oc, dt)
     contrib = jax.lax.dot_general(
-        o.astype(woc_ref.dtype), woc_ref[...], (((0,), (0,)), ((), ())),
+        o.astype(woc.dtype), woc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, D)
 
@@ -395,20 +476,21 @@ def _cross_block_rows_kernel(x1_ref, wqc_ref, woc_ref, ln2_ref,
 
 def cross_block_rows(x1, w_qc, w_oc, ln2, ck_t, cv_t, mpadT,
                      *, interpret=False):
-    """x1 (B,D); ck_t (H,T,B,Dh); cv_t (H,Dh,T,B); mpadT (T,B) int32."""
+    """x1 (B,D); ck_t (H,T,B,Dh); cv_t (H,Dh,T,B); mpadT (T,B) int32.
+    Weights may be QuantTensors."""
     B, D = x1.shape
     H, T, _, Dh = ck_t.shape
     scale = 1.0 / (Dh ** 0.5)
-    kern = functools.partial(_cross_block_rows_kernel, H=H, Dh=Dh, scale=scale)
+    vqc, sqc, q_qc = _wq_arrays(w_qc, headed=True)
+    voc, soc, q_oc = _wq_arrays(w_oc, headed=True)
+    kern = functools.partial(_cross_block_rows_kernel, H=H, Dh=Dh,
+                             scale=scale, q_qc=q_qc, q_oc=q_oc)
     return pl.pallas_call(
         kern,
         grid=(H,),
         in_specs=[
             pl.BlockSpec((B, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, D, Dh), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, Dh, D), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *sqc, *soc,
             pl.BlockSpec((2, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, T, B, Dh), lambda h: (h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -421,26 +503,28 @@ def cross_block_rows(x1, w_qc, w_oc, ln2, ck_t, cv_t, mpadT,
         out_shape=jax.ShapeDtypeStruct((B, D), x1.dtype),
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
         interpret=interpret,
-    )(x1, w_qc, w_oc, ln2, ck_t, cv_t, mpadT)
+    )(x1, *vqc, *voc, ln2, ck_t, cv_t, mpadT)
 
 
 # ---------------------------------------------------------------------------
 # K3: fused FFN block
 # ---------------------------------------------------------------------------
 
-def _ffn_kernel(x2_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln3_ref, x3_ref):
+def _ffn_kernel(x2_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                ln3_ref, x3_ref, *, q_w1, q_w2):
     # flax Dense(dtype=stream) rounds each matmul to the stream dtype and
     # adds the bias there (transformer.py FeedForward); mirror that so the
     # fused and XLA steps agree to rounding noise at bf16
     x2 = x2_ref[...]
     dt = x2.dtype
     h = jax.lax.dot_general(
-        x2, w1_ref[...], (((1,), (0,)), ((), ())),
+        x2, _deq(w1_ref, s1_ref, q_w1, dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dt) + b1_ref[...].astype(dt)
     h = jnp.maximum(h, 0.0)
+    w2 = _deq(w2_ref, s2_ref, q_w2, dt)
     y = jax.lax.dot_general(
-        h.astype(w2_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        h.astype(w2.dtype), w2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dt) + b2_ref[...].astype(dt)
     y = (x2 + y).astype(jnp.float32)
@@ -448,20 +532,23 @@ def _ffn_kernel(x2_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln3_ref, x3_ref):
 
 
 def ffn_block(x2, w1, b1, w2, b2, ln3, *, interpret=False):
+    v1, s1, q_w1 = _wq_arrays(w1, headed=False)
+    v2, s2, q_w2 = _wq_arrays(w2, headed=False)
+    kern = functools.partial(_ffn_kernel, q_w1=q_w1, q_w2=q_w2)
     return pl.pallas_call(
-        _ffn_kernel,
+        kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            *s1,
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            *s2,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
         interpret=interpret,
-    )(x2, w1, b1, w2, b2, ln3)
+    )(x2, *v1, b1, *v2, b2, ln3)
 
 
 # ---------------------------------------------------------------------------

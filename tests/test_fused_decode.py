@@ -102,6 +102,54 @@ def test_fused_step_matches_decode_step(compute_dtype):
     )
 
 
+def test_fused_step_int8_matches_xla_int8():
+    """With utils/quantize int8 weights, the fused kernels dequantize
+    IN-KERNEL with the exact Int8Tensor formula, so the fused and XLA
+    steps see bit-identical weights — logits agree as tightly as the
+    unquantized float32 case."""
+    from emg_tpu.utils.quantize import quantize_decoder_int8
+
+    cfg = ModelConfig(
+        model_size=16, feed_forward_layer_size=32,
+        num_layers_encoder=1, num_layers_decoder=2,
+        n_heads_encoder=2, n_heads_decoder=2, relative_distance=8,
+        dropout_model=0.0, dropout_pos_emb=0.0, compute_dtype="float32",
+    )
+    model = EMGModel(cfg)
+    batch = toy_batch(B=4, n_rows=2, chunk=64, S=10, seed=13)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(13)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    qvars = quantize_decoder_int8(variables, dequant_dtype=jnp.float32)
+    memory, _, src_mask = model.apply(
+        variables, batch.packed_raw, batch.n_rows, batch.offsets,
+        batch.lengths, 16, False, method=model.encode,
+    )
+    memory, src_mask = memory[:1], src_mask[:1]
+    cross_kvs = model.apply(qvars, memory, method=model.project_cross_kvs)
+
+    B, S = 4, 6
+    tokens = jnp.asarray(np.asarray(batch.targets[:, :S], np.int32))
+    caches_ref = model.init_decode_cache(B, S)
+    fused = FusedDecoder(cfg, qvars, interpret=True)
+    caches_fused = fused.init_cache(B, S)
+    for t in range(S - 1):
+        tok = tokens[:, t]
+        ref_logits, caches_ref = model.apply(
+            qvars, tok, t, caches_ref, cross_kvs, tokens, src_mask,
+            method=model.decode_step,
+        )
+        fused_logits, caches_fused = fused.step(
+            tok, t, caches_fused, cross_kvs, tokens, src_mask,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused_logits), np.asarray(ref_logits),
+            rtol=2e-5, atol=1e-4, err_msg=f"step {t}",
+        )
+
+
 def test_fused_greedy_matches_xla():
     """The per-row-memory fused path (greedy_decode_cached fused=...)
     returns the exact accuracy matrix of the XLA decode_step path."""
