@@ -511,10 +511,14 @@ def cross_block_rows(x1, w_qc, w_oc, ln2, ck_t, cv_t, mpadT,
 # ---------------------------------------------------------------------------
 
 def _ffn_kernel(x2_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                ln3_ref, x3_ref, *, q_w1, q_w2):
+                ln3_ref, x3_ref, acc_ref, *, q_w1, q_w2, NC):
     # flax Dense(dtype=stream) rounds each matmul to the stream dtype and
     # adds the bias there (transformer.py FeedForward); mirror that so the
-    # fused and XLA steps agree to rounding noise at bf16
+    # fused and XLA steps agree to rounding noise at bf16. The FF dim is
+    # walked in NC grid chunks (VMEM fit + DMA/compute overlap); ReLU and
+    # the h rounding are elementwise over FF, so chunking is exact, and
+    # the second matmul accumulates float32 across chunks like one dot.
+    c = pl.program_id(0)
     x2 = x2_ref[...]
     dt = x2.dtype
     h = jax.lax.dot_general(
@@ -523,30 +527,63 @@ def _ffn_kernel(x2_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     ).astype(dt) + b1_ref[...].astype(dt)
     h = jnp.maximum(h, 0.0)
     w2 = _deq(w2_ref, s2_ref, q_w2, dt)
-    y = jax.lax.dot_general(
+    contrib = jax.lax.dot_general(
         h.astype(w2.dtype), w2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dt) + b2_ref[...].astype(dt)
-    y = (x2 + y).astype(jnp.float32)
-    x3_ref[...] = _layer_norm(y, ln3_ref[...]).astype(x3_ref.dtype)
+    )  # (B, D) f32
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = contrib
+
+    @pl.when(c > 0)
+    def _acc():
+        acc_ref[...] += contrib
+
+    @pl.when(c == NC - 1)
+    def _finish():
+        y = acc_ref[...].astype(dt) + b2_ref[...].astype(dt)
+        y = (x2 + y).astype(jnp.float32)
+        x3_ref[...] = _layer_norm(y, ln3_ref[...]).astype(x3_ref.dtype)
 
 
-def ffn_block(x2, w1, b1, w2, b2, ln3, *, interpret=False):
-    v1, s1, q_w1 = _wq_arrays(w1, headed=False)
-    v2, s2, q_w2 = _wq_arrays(w2, headed=False)
-    kern = functools.partial(_ffn_kernel, q_w1=q_w1, q_w2=q_w2)
+def ffn_block(x2, w1, b1, w2, b2, ln3, *, interpret=False, ff_block=1024):
+    B, D = x2.shape
+    FF = (w1.data if _is_quant(w1) else w1).shape[1]
+    blk = FF if FF <= ff_block or FF % ff_block else ff_block
+    NC = FF // blk
+    quant1, quant2 = _is_quant(w1), _is_quant(w2)
+    v1 = [w1.data, w1.scale] if quant1 else [w1, jnp.zeros((1, 1), jnp.float32)]
+    v2 = [w2.data, w2.scale] if quant2 else [w2, jnp.zeros((1, 1), jnp.float32)]
+    s1_spec = (pl.BlockSpec((1, blk), lambda c: (0, c),
+                            memory_space=pltpu.VMEM) if quant1 else
+               pl.BlockSpec((1, 1), lambda c: (0, 0),
+                            memory_space=pltpu.VMEM))
+    s2_spec = (pl.BlockSpec((1, D), lambda c: (0, 0),
+                            memory_space=pltpu.VMEM) if quant2 else
+               pl.BlockSpec((1, 1), lambda c: (0, 0),
+                            memory_space=pltpu.VMEM))
+    kern = functools.partial(_ffn_kernel, q_w1=quant1, q_w2=quant2, NC=NC)
     return pl.pallas_call(
         kern,
+        grid=(NC,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            *s1,
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            *s2,
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, blk), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+            s1_spec,
+            pl.BlockSpec((1, blk), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, D), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            s2_spec,
+            pl.BlockSpec((1, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((B, D), lambda c: (0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
         interpret=interpret,
     )(x2, *v1, b1, *v2, b2, ln3)
 

@@ -150,6 +150,25 @@ def test_fused_step_int8_matches_xla_int8():
         )
 
 
+def test_ffn_block_chunked_matches_monolithic():
+    """The FF-dim grid walk (VMEM fit at flagship FF=3072) is exact:
+    chunked and single-block runs agree to f32 accumulation order."""
+    from emg_tpu.ops.pallas.fused_decode_step import ffn_block
+
+    rng = np.random.default_rng(0)
+    B, D, FF = 4, 16, 32
+    x2 = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(D, FF)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(1, FF)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(FF, D)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(1, D)), jnp.float32)
+    ln3 = jnp.asarray(rng.normal(size=(2, D)), jnp.float32)
+    mono = ffn_block(x2, w1, b1, w2, b2, ln3, interpret=True, ff_block=FF)
+    chunk = ffn_block(x2, w1, b1, w2, b2, ln3, interpret=True, ff_block=8)
+    np.testing.assert_allclose(np.asarray(chunk), np.asarray(mono),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fused_greedy_matches_xla():
     """The per-row-memory fused path (greedy_decode_cached fused=...)
     returns the exact accuracy matrix of the XLA decode_step path."""
