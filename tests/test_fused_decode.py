@@ -150,6 +150,45 @@ def test_fused_step_int8_matches_xla_int8():
         )
 
 
+def test_fused_step_under_vmap():
+    """search_many / the continuous server run the step under vmap (pallas
+    prepends a grid dim); each lane must reproduce the unbatched step."""
+    cfg = ModelConfig(
+        model_size=16, feed_forward_layer_size=32,
+        num_layers_encoder=1, num_layers_decoder=2,
+        n_heads_encoder=2, n_heads_decoder=2, relative_distance=8,
+        dropout_model=0.0, dropout_pos_emb=0.0, compute_dtype="float32",
+    )
+    model = EMGModel(cfg)
+    batch = toy_batch(B=2, n_rows=2, chunk=64, S=10, seed=3)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    memory, _, src_mask = model.apply(
+        variables, batch.packed_raw, batch.n_rows, batch.offsets,
+        batch.lengths, 16, False, method=model.encode,
+    )
+    memory, src_mask = memory[:1], src_mask[:1]
+    cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
+    fused = FusedDecoder(cfg, variables, interpret=True)
+
+    B, S = 2, 6
+    tokens = jnp.asarray(np.asarray(batch.targets[:, :S], np.int32))
+    caches = fused.init_cache(B, S)
+    tok = tokens[:, 0]
+    lg0, _ = fused.step(tok, 0, caches, cross_kvs, tokens, src_mask)
+    two = lambda x: jnp.stack([x, x])
+    lgv, _ = jax.vmap(fused.step)(
+        two(tok), jnp.zeros((2,), jnp.int32), jax.tree.map(two, caches),
+        jax.tree.map(two, cross_kvs), two(tokens), two(src_mask),
+    )
+    for lane in range(2):
+        np.testing.assert_allclose(np.asarray(lgv[lane]), np.asarray(lg0),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_ffn_block_chunked_matches_monolithic():
     """The FF-dim grid walk (VMEM fit at flagship FF=3072) is exact:
     chunked and single-block runs agree to f32 accumulation order."""
