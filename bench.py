@@ -538,6 +538,20 @@ def measure_train_accum(frames8):
 
 
 def main():
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        # the relay-attached chip can be unavailable for hours at a time
+        # (observed 2026-08-17: "TPU backend setup/compile error"); emit an
+        # explicit record instead of a crash so the outage is
+        # distinguishable from a perf regression
+        print(json.dumps({
+            "metric": "e2e_utterances_per_sec_per_chip",
+            "value": 0.0, "unit": "utt/s", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {e}",
+            "last_good": "BENCH_r02.json",
+        }))
+        return
     run_once, utts, geo, model, variables, stages = build_greedy_pipeline()
     utt_per_sec = measure_greedy(run_once)
     stage_ms = measure_stages(run_once, stages)
