@@ -117,6 +117,18 @@ class TrainConfig:
     eval_batches: int = 10
     # number of train batches inspected by report_PER
     per_train_batches: int = 15
+    # run each gradient-accumulation window as ONE jitted program
+    # (parallel/train_step.make_train_window) instead of one launch per
+    # microbatch — identical grads/RNG/counters (the window simply inlines
+    # the per-microbatch bodies), but one dispatch per optimizer update.
+    # The sampler is deterministic per (seed, epoch), so window
+    # composition is known ahead of time. Windows also break at
+    # report_loss boundaries so the reporting cadence is unchanged.
+    fused_window: bool = True
+    # distinct window signatures (sequence of microbatch bucket shapes)
+    # compiled before new compositions fall back to per-microbatch
+    # launches — bounds compile time on long runs with reshuffled epochs
+    window_max_compiles: int = 64
 
 
 @dataclass

@@ -58,7 +58,14 @@ class ContinuousBeamServer:
 
             def sbody(c, _):
                 t, alive = c[0], c[4]
-                alive = alive & (t < sctx["max_len"])
+                # gate on BOTH bounds _carry_done checks: max_len AND the
+                # cache capacity S-1. A chunked lane whose request asks for
+                # max_len > S-1 would otherwise keep stepping past cache
+                # capacity (dynamic_update_slice clamps to the last cache
+                # row, corrupting it) and could push late hypotheses into
+                # the finished buffer, diverging from one-shot search()
+                alive = (alive & (t < sctx["max_len"])
+                         & (t < searcher.S - 1))
                 c = c[:4] + (alive,) + c[5:]
                 return body(variables, sctx, c), None
 

@@ -99,8 +99,16 @@ class DeviceBeamSearcher:
         if cfg.fused_step:
             from emg_tpu.ops.pallas.fused_decode_step import maybe_fused_decoder
 
+            # probe at the REAL serve-time cross-memory length (model.encode
+            # returns memory of length max_frames: ``lengths`` are already
+            # post-CNN frame counts) — probing a smaller default T would
+            # let a Mosaic rejection at the real shape bypass the
+            # documented XLA fallback and raise at the first decode launch
+            # instead. model= adds the executed fused-vs-XLA parity gate
+            # (compiled-Mosaic numerics).
             self._fused = maybe_fused_decoder(
-                model.cfg, self.variables, W, self.S, vmapped=True
+                model.cfg, self.variables, W, self.S,
+                T=self.max_frames, vmapped=True, model=model,
             )
 
     # ------------------------------------------------------------------

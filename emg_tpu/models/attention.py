@@ -14,6 +14,7 @@ query token, attend over cached K/V) shares parameters with the full path.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -21,6 +22,11 @@ import jax
 import jax.numpy as jnp
 
 NEG_FILL = -1e8  # reference masked_fill value
+# smallest PADDED length (multiple of 128) routed to the flash kernel;
+# measured wins at >= 256 (see the gate comment below) — override with
+# EMG_TPU_FLASH_MIN_T for on-silicon gate measurements
+# (benchmarks/flash_gate_check.py)
+FLASH_MIN_T = int(os.environ.get("EMG_TPU_FLASH_MIN_T", "256"))
 STRUCT_MASK = -jnp.inf  # structural (not-yet-generated) positions
 
 
@@ -154,17 +160,21 @@ class MultiHeadAttention(nn.Module):
         if value is not key:  # not used by this architecture, kept for API
             _, v = self.project_kv(value)
 
+        # ragged buckets pad up to the kernel's 128 tile (192 -> 256): the
+        # pad keys are masked out and the pad query rows sliced off, so the
+        # result is exact; the pad FLOPs trade against the XLA path's
+        # materialized rel->abs skew reshapes (~3.6 ms each at T=384, B=39
+        # — profiled r3)
+        T_ = q.shape[2]
+        Tp = ((T_ + 127) // 128) * 128
         if (
             self.use_flash
             and self.relative_positional
             and not causal
-            and q.shape[2] % 128 == 0
-            and q.shape[2] >= 256  # measured: 2.8x XLA at T=512, 7.5x at
-            #  T=1024 (v5e). Serving ties at T=256, but the XLA path's
-            #  rel->abs skew materializes (B,H,T,2T) reshapes (~3.6 ms
-            #  each at T=384, B=39 — profiled r3), so every bucket the
-            #  kernel can tile (T % 128 == 0) now runs flash; 384-class
-            #  buckets use 128-wide blocks
+            and Tp >= FLASH_MIN_T  # measured: 2.8x XLA at T=512, 7.5x at
+            #  T=1024, serving tie at T=256 (v5e); below that the gate is
+            #  unmeasured — benchmarks/flash_gate_check.py records the
+            #  table, EMG_TPU_FLASH_MIN_T overrides for the measurement
         ):
             from emg_tpu.ops.pallas.flash_attention import (
                 flash_attention_relpos,
@@ -175,18 +185,22 @@ class MultiHeadAttention(nn.Module):
             if flash_available():
                 # query-pad fills are a softmax row no-op — only key pads
                 # change the distribution, so only they enter the kernel
-                used, oob = self.relpos.window(q.shape[2])
+                used, oob = self.relpos.window(Tp)
                 kp = (
                     key_padding_mask
                     if key_padding_mask is not None
                     else jnp.zeros(q.shape[:1] + (k.shape[2],), bool)
                 )
+                if Tp != T_:
+                    pad = ((0, 0), (0, 0), (0, Tp - T_), (0, 0))
+                    q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+                    kp = jnp.pad(kp, ((0, 0), (0, Tp - T_)),
+                                 constant_values=True)
                 # block size: 256 where T tiles by it (measured best at
                 # 512+); otherwise one full-T block — at T=384 the single
                 # (384,384) block runs the fwd+bwd pair 1.9x faster than
                 # (128,128) tiling (8.1 vs 15.2 ms at B=39, v5e)
-                T_ = q.shape[2]
-                blk = 256 if T_ % 256 == 0 else (T_ if T_ <= 512 else 128)
+                blk = 256 if Tp % 256 == 0 else (Tp if Tp <= 512 else 128)
                 if deterministic:
                     # kernel accumulates float32; return at the stream dtype
                     o = flash_attention_relpos(q, k, v, used, oob, kp,
@@ -208,6 +222,8 @@ class MultiHeadAttention(nn.Module):
                         q, k, v, used, oob, kp, self.dropout, seed,
                         bq=blk, bk=blk,
                     )
+                if Tp != T_:
+                    o = o[:, :, :T_]
                 return self.output(o)
 
         logits = jnp.einsum("bhqa,bhka->bhqk", q, k) / (self.head_dim ** 0.5)

@@ -24,10 +24,13 @@ class MaskedBatchNorm(nn.Module):
     torch semantics: biased variance for normalization, unbiased for the
     running average, momentum 0.1, eps 1e-5. Statistics accumulate in
     float32 in ONE pass over the activations (sum and sum-of-squares
-    together — E[x^2] - E[x]^2) rather than the textbook two, halving the
-    reduction traffic over the conv stack's biggest tensors; the
-    normalization returns at the input dtype so a bfloat16 conv stream
-    stays bfloat16.
+    together) rather than the textbook two, halving the reduction traffic
+    over the conv stack's biggest tensors. The sums are taken over
+    MEAN-SHIFTED values — a per-channel offset estimated from the first
+    (always-valid) row — so channels with |mean| >> std don't
+    catastrophically cancel in E[x^2] - E[x]^2 (the shift costs one small
+    (L, C) reduction, not a second full pass). The normalization returns
+    at the input dtype so a bfloat16 conv stream stays bfloat16.
     """
 
     momentum: float = 0.1
@@ -48,10 +51,15 @@ class MaskedBatchNorm(nn.Module):
             row_ids = jnp.arange(N)
             mask = (row_ids < n_valid_rows)[:, None, None]
             count = jnp.maximum(n_valid_rows * L, 1).astype(jnp.float32)
-            xm = jnp.where(mask, x, 0.0).astype(jnp.float32)
-            mean = jnp.sum(xm, axis=(0, 1)) / count
+            # per-channel shift from row 0 (always valid): with c near the
+            # true mean, E[(x-c)^2] - E[x-c]^2 is numerically stable where
+            # the unshifted form cancels for |mean| >> std channels
+            c = jnp.mean(x[0].astype(jnp.float32), axis=0)
+            xm = jnp.where(mask, x.astype(jnp.float32) - c, 0.0)
+            mean_s = jnp.sum(xm, axis=(0, 1)) / count
             sq = jnp.sum(xm * xm, axis=(0, 1)) / count
-            var = jnp.maximum(sq - mean * mean, 0.0)
+            var = jnp.maximum(sq - mean_s * mean_s, 0.0)
+            mean = mean_s + c
             if not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean

@@ -746,16 +746,134 @@ class FusedDecoder:
                 two(tokens), two(mpad),
             ).compile()
 
+    def parity_check(self, model, variables, B: int, S: int, T: int = 64,
+                     *, rows: bool = False, vmapped: bool = False,
+                     steps: int = 3, seed: int = 0):
+        """EXECUTE the compiled fused step against the XLA decode_step on
+        the live backend with shared random inputs, over ``steps`` token
+        steps (so cached K/V reads are exercised), and require agreement.
+
+        The compile probe only catches Mosaic *rejections*; a compiled
+        kernel that lowers but computes wrong numbers would silently
+        corrupt every beam/greedy result while fused_step defaults on.
+        Agreement means: logits allclose within the stream dtype's
+        rounding envelope, and identical greedy argmax wherever the XLA
+        top-2 logit gap is decisive (near-ties may legitimately reorder
+        under a different bf16 accumulation order). Raises
+        FusedParityError on divergence."""
+        import numpy as np
+
+        H = self.cfg.n_heads_decoder
+        Dh = self.cfg.model_size // H
+        L = self.cfg.num_layers_decoder
+        dt = self.dtype
+        key = jax.random.PRNGKey(seed)
+        kc, kt = jax.random.split(key)
+        lead = B if rows else 1
+        cross_kvs = [
+            (0.3 * jax.random.normal(jax.random.fold_in(kc, 2 * i),
+                                     (lead, H, T, Dh), dt),
+             0.3 * jax.random.normal(jax.random.fold_in(kc, 2 * i + 1),
+                                     (lead, H, T, Dh), dt))
+            for i in range(L)
+        ]
+        # last quarter of the memory padded, like a bucketed utterance
+        src_mask = jnp.zeros((lead, T), bool).at[:, T - T // 4:].set(True)
+        tokens = jax.random.randint(kt, (B, S), 0, 40, jnp.int32)
+        steps = min(steps, S - 1)
+
+        caches_x = model.init_decode_cache(B, S)
+        caches_f = self.init_cache(B, S)
+        if rows:
+            cross_f = self.prepare_cross_rows(cross_kvs)
+            mpad_f = src_mask.T
+
+            def fstep(tok, t, caches):
+                return self.step_rows(tok, t, caches, cross_f, tokens, mpad_f)
+        else:
+            cross_f, mpad_f = cross_kvs, src_mask
+
+            def fstep(tok, t, caches):
+                return self.step(tok, t, caches, cross_f, tokens, mpad_f)
+
+        if self.dtype == jnp.bfloat16:
+            rtol, atol = 3e-2, 3e-2
+        else:
+            rtol, atol = 2e-5, 1e-4
+        lg_f0 = None
+        for t in range(steps):
+            tok = tokens[:, t]
+            lg_x, caches_x = model.apply(
+                variables, tok, t, caches_x, cross_kvs, tokens, src_mask,
+                method=model.decode_step,
+            )
+            lg_f, caches_f = fstep(tok, t, caches_f)
+            lg_x = np.asarray(lg_x, np.float32)
+            lg_fn = np.asarray(lg_f, np.float32)
+            if t == 0:
+                lg_f0 = lg_f
+            if not np.allclose(lg_fn, lg_x, rtol=rtol, atol=atol):
+                worst = float(np.max(np.abs(lg_fn - lg_x)))
+                raise FusedParityError(
+                    f"fused step logits diverge from XLA at step {t}: "
+                    f"max |diff| {worst:.4g} (rtol {rtol}, atol {atol})"
+                )
+            srt = np.sort(lg_x, axis=-1)
+            gap = srt[:, -1] - srt[:, -2]
+            decisive = gap > 2.0 * (atol + rtol * np.abs(srt[:, -1]))
+            agree = lg_fn.argmax(-1) == lg_x.argmax(-1)
+            if not np.all(agree | ~decisive):
+                raise FusedParityError(
+                    f"fused step argmax diverges from XLA at step {t} on a "
+                    f"decisively-scored row (top-2 gap {gap.min():.4g})"
+                )
+        if vmapped and lg_f0 is not None:
+            # vmapped lanes (search_many / continuous server) must match
+            # the unbatched kernel: the grid gains a lane dim in Mosaic,
+            # which could miscompile independently of the base form. Every
+            # operand is stacked (the real lanes each own their buffers).
+            two = lambda x: jnp.stack([x, x])
+            vfn = self.step_rows if rows else self.step
+            lgv, _ = jax.vmap(vfn)(
+                two(tokens[:, 0]), jnp.zeros((2,), jnp.int32),
+                jax.tree.map(two, self.init_cache(B, S)),
+                jax.tree.map(two, cross_f), two(tokens), two(mpad_f),
+            )
+            lgv = np.asarray(lgv, np.float32)
+            base = np.asarray(lg_f0, np.float32)
+            for lane in range(2):
+                if not np.allclose(lgv[lane], base, rtol=rtol, atol=atol):
+                    raise FusedParityError(
+                        f"vmapped fused step lane {lane} diverges from the "
+                        "unbatched fused step"
+                    )
+
+
+class FusedParityError(AssertionError):
+    """Compiled fused kernels disagree numerically with the XLA step."""
+
 
 def maybe_fused_decoder(model_cfg, variables, B: int, S: int, T: int = 64,
-                        *, rows: bool = False, vmapped: bool = False):
+                        *, rows: bool = False, vmapped: bool = False,
+                        model=None, extra_shapes=()):
     """A FusedDecoder if the platform supports it AND its kernels compile
-    at these shapes; None otherwise (callers keep the XLA decode_step)."""
+    at these shapes; None otherwise (callers keep the XLA decode_step).
+
+    ``model``: when given, the probe also EXECUTES the compiled kernels
+    against the XLA decode_step on the live backend and falls back on any
+    numeric divergence (see parity_check) — compile acceptance alone does
+    not prove Mosaic computed the same numbers.
+    ``extra_shapes``: additional (B, S, T) triples to compile-probe, for
+    callers that will launch the step at several bucketed geometries (the
+    CLI greedy path); a rejection at ANY shape falls back, keeping the
+    documented all-or-nothing fallback behavior."""
     if not flash_available():
         return None
     fd = FusedDecoder(model_cfg, variables)
     try:
         fd.probe(B, S, T, rows=rows, vmapped=vmapped)
+        for (b2, s2, t2) in extra_shapes:
+            fd.probe(b2, s2, t2, rows=rows, vmapped=vmapped)
     except Exception as e:  # Mosaic lowering/VMEM rejection
         import warnings
 
@@ -764,6 +882,19 @@ def maybe_fused_decoder(model_cfg, variables, B: int, S: int, T: int = 64,
             f"({type(e).__name__}); using the XLA decode_step instead"
         )
         return None
+    if model is not None:
+        try:
+            fd.parity_check(model, variables, B, S, T,
+                            rows=rows, vmapped=vmapped)
+        except FusedParityError as e:
+            import warnings
+
+            warnings.warn(
+                "fused decode-step kernels compiled but DISAGREE with the "
+                f"XLA step on this backend ({e}); using the XLA decode_step "
+                "instead"
+            )
+            return None
     return fd
 
 

@@ -19,6 +19,52 @@ import orbax.checkpoint as ocp
 from emg_tpu.train.state import TrainState
 
 
+def _restore_opt_state(saved: Any, template: Any) -> Any:
+    """Rebuild the live opt_state from a restored checkpoint tree BY NAME.
+
+    orbax's PyTreeCheckpointer returns plain nested dicts; unflattening
+    those leaves positionally into the live NamedTuple would silently
+    depend on the NamedTuple's field order matching the dict's sorted-key
+    order, and would break outright (leaf-count mismatch) on checkpoints
+    saved before fused_adamw replaced the optax inject_hyperparams(adamw)
+    chain. Both layouts carry ``count``/``mu``/``nu`` (ScaleByAdamState
+    inside the legacy chain) and a ``hyperparams`` dict with
+    ``learning_rate`` somewhere in their tree, so we locate them by key.
+    Falls back to positional unflattening for unrecognized layouts."""
+    from emg_tpu.train.state import FusedAdamWState
+
+    def find(tree, *keys):
+        """Depth-first: the first dict carrying every key in ``keys``."""
+        if isinstance(tree, dict):
+            if all(k in tree for k in keys):
+                return tree
+            for v in tree.values():
+                hit = find(v, *keys)
+                if hit is not None:
+                    return hit
+        elif isinstance(tree, (list, tuple)):
+            for v in tree:
+                hit = find(v, *keys)
+                if hit is not None:
+                    return hit
+        return None
+
+    if isinstance(template, FusedAdamWState):
+        adam = find(saved, "mu", "nu")
+        hyper = find(saved, "learning_rate")
+        if adam is not None and hyper is not None:
+            return FusedAdamWState(
+                count=jax.numpy.asarray(adam["count"], jax.numpy.int32),
+                hyperparams={"learning_rate": jax.numpy.asarray(
+                    hyper["learning_rate"], jax.numpy.float32)},
+                mu=adam["mu"],
+                nu=adam["nu"],
+            )
+    return jax.tree.unflatten(
+        jax.tree.structure(template), jax.tree.leaves(saved)
+    )
+
+
 def _state_tree(state: TrainState) -> dict:
     return {
         "params": state.params,
@@ -70,10 +116,7 @@ class CheckpointManager:
             state.replace(
                 params=tree["params"],
                 batch_stats=tree["batch_stats"],
-                opt_state=jax.tree.unflatten(
-                    jax.tree.structure(state.opt_state),
-                    jax.tree.leaves(tree["opt_state"]),
-                ),
+                opt_state=_restore_opt_state(tree["opt_state"], state.opt_state),
                 accum_grads=tree["accum_grads"],
                 accum_examples=tree["accum_examples"],
                 microbatches=tree["microbatches"],

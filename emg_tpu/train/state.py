@@ -43,11 +43,9 @@ def warmup_lr(cfg: TrainConfig, microbatches: jnp.ndarray) -> jnp.ndarray:
 
 
 class FusedAdamWState(typing.NamedTuple):
-    # field order MUST stay alphabetical: checkpoint restore rebuilds this
-    # state by unflattening orbax's saved leaves (plain dicts, flattened in
-    # sorted-key order) into the live structure (NamedTuples flatten in
-    # FIELD order) — see CheckpointManager.restore. A non-alphabetical
-    # field order silently misaligns mu/nu with their parameters.
+    # checkpoint restore rebuilds this state BY FIELD NAME from orbax's
+    # saved dicts (checkpoint._restore_opt_state), so field order is free;
+    # the same path migrates legacy inject_hyperparams(adamw) checkpoints
     count: jnp.ndarray
     hyperparams: dict
     mu: Any

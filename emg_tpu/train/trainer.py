@@ -33,7 +33,11 @@ from emg_tpu.data.sampler import DynamicBatchSampler
 from emg_tpu.decode.greedy import run_greedy
 from emg_tpu.models import EMGModel
 from emg_tpu.parallel.mesh import mesh_from_config, replicated, shard_batch, shard_params
-from emg_tpu.parallel.train_step import make_eval_step, make_train_step
+from emg_tpu.parallel.train_step import (
+    make_eval_step,
+    make_train_step,
+    make_train_window,
+)
 from emg_tpu.text.metrics import wer
 from emg_tpu.train.checkpoint import CheckpointManager
 from emg_tpu.train.metrics_writer import MetricsWriter
@@ -74,6 +78,7 @@ class Trainer:
         self.model = EMGModel(config.model)
         self._train_steps = {}
         self._eval_steps = {}
+        self._windows = {}
         self.ckpt = CheckpointManager(config.paths.output_directory)
         # rbg keys lower to the TPU hardware RNG: ~4.5 ms/step cheaper than
         # threefry for the dropout masks at this model size (the stream
@@ -124,6 +129,46 @@ class Trainer:
                 self.model, self.config.train, max_frames
             )
         return self._train_steps[max_frames]
+
+    def _window_for(self, max_frames_seq):
+        """The fused-window program for this bucket sequence, or None once
+        the signature cache is full (new compositions then run through the
+        per-microbatch steps — same math, more launches)."""
+        if max_frames_seq not in self._windows:
+            if len(self._windows) >= self.config.train.window_max_compiles:
+                return None
+            self._windows[max_frames_seq] = make_train_window(
+                self.model, self.config.train, list(max_frames_seq)
+            )
+        return self._windows[max_frames_seq]
+
+    @staticmethod
+    def _plan_windows(batch_lists, start_accum: int, cfg) -> List[int]:
+        """Split the epoch's microbatch sequence into fused-window runs.
+
+        The DynamicBatchSampler is deterministic per (seed, epoch), so the
+        accumulation trigger (example count reaching batch_size_grad,
+        recognition_model.py:92-96 semantics) is known before any step
+        runs. Windows cut at each optimizer apply, at every report_loss
+        boundary (so the reporting cadence is unchanged), and at a length
+        cap that bounds single-program compile size."""
+        MAX_WINDOW = 32
+        windows: List[int] = []
+        accum = start_accum
+        run = 0
+        for step, idxs in enumerate(batch_lists):
+            accum += len(idxs)
+            run += 1
+            cut = run >= MAX_WINDOW or (step + 1) % cfg.report_loss == 0
+            if accum >= cfg.batch_size_grad:
+                accum = 0
+                cut = True
+            if cut:
+                windows.append(run)
+                run = 0
+        if run:
+            windows.append(run)
+        return windows
 
     def _prefetch(self, dataset: EMGDataset, batches: List[List[int]], depth: int = 2):
         """Host-side batch assembly on a background thread, ``depth`` batches
@@ -291,16 +336,42 @@ class Trainer:
         for epoch_idx in range(cfg.n_epochs):
             losses: List[float] = []
             epoch_start = time.time()
-            for step, (pb, max_frames) in enumerate(
-                self._prefetch(self.trainset, list(train_sampler))
-            ):
-                state, metrics = self._train_step_for(max_frames)(
-                    state, pb, self.rng
+            epoch_batches = list(train_sampler)
+            # fused accumulation windows: the whole window launches as ONE
+            # program (make_train_window) — same grads/RNG/counters as the
+            # per-microbatch path (the window inlines the same step bodies
+            # in order), minus the per-launch dispatch latency. Window
+            # boundaries are planned ahead from the deterministic sampler.
+            windows = (
+                self._plan_windows(
+                    epoch_batches, int(state.accum_examples), cfg
                 )
-                pending.append(metrics)
-                batch_idx += 1
+                if cfg.fused_window
+                else [1] * len(epoch_batches)
+            )
+            gen = self._prefetch(self.trainset, epoch_batches)
+            step = 0
+            for wlen in windows:
+                group = [next(gen) for _ in range(wlen)]
+                window_fn = (
+                    self._window_for(tuple(mf for _, mf in group))
+                    if cfg.fused_window and wlen > 1 else None
+                )
+                if window_fn is not None:
+                    state, ms = window_fn(
+                        state, tuple(pb for pb, _ in group), self.rng
+                    )
+                    pending.extend(ms)
+                else:
+                    for pb, max_frames in group:
+                        state, metrics = self._train_step_for(max_frames)(
+                            state, pb, self.rng
+                        )
+                        pending.append(metrics)
+                batch_idx += wlen
+                step += wlen
 
-                if (step + 1) % cfg.report_loss == 0:
+                if step % cfg.report_loss == 0:
                     drain_pending()
                     ev = self.evaluation_loop(state, dev_sampler)
                     n = max(run_train["n"], 1)
@@ -312,6 +383,8 @@ class Trainer:
                     self.writer.add_scalar("Loss_Encoder/Evaluation", round(ev["enc_loss"], 3), batch_idx)
                     self.writer.flush()
                     run_train = {"loss": 0.0, "dec": 0.0, "enc": 0.0, "n": 0}
+            for _ in gen:  # defensive: plan always covers the epoch
+                raise AssertionError("window plan shorter than the epoch")
 
             drain_pending()
             train_sampler.set_epoch(epoch_idx + 1)

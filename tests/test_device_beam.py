@@ -239,3 +239,40 @@ def test_continuous_server_matches_single(setup):
         assert list(h1) == list(h2)
         assert w1 == w2
         assert s1 == pytest.approx(s2, abs=1e-5)
+
+
+def test_continuous_server_caps_at_cache_capacity(setup):
+    """A request whose target_len + extra_steps exceeds the searcher's
+    max_steps must stop at cache capacity (S-1 steps) exactly like the
+    one-shot search: without the S-1 gate, a big-chunk advance steps past
+    the cache (dynamic_update_slice clamps to and corrupts the last row)
+    and can push late hypotheses into the finished buffer (ADVICE r3,
+    decode/continuous.py)."""
+    from emg_tpu.decode.continuous import ContinuousBeamServer
+
+    compiled, lm, dlm, lex_words = setup
+    model = tiny_model()
+    cfg = DecodeConfig(BeamWidth=8, extra_steps=20)  # max_len >> S-1
+    batches, lens = [], []
+    variables = None
+    for seed in (51, 52, 53):
+        b = toy_batch(B=1, n_rows=2, chunk=64, S=10, seed=seed)
+        if variables is None:
+            variables = model.init(
+                {"params": jax.random.PRNGKey(17)},
+                b.packed_raw, b.n_rows, b.offsets, b.lengths,
+                b.targets[:, :-1], 16, False,
+            )
+        batches.append(b)
+        lens.append(int((b.targets[0, 1:] != 40).sum()))
+    dev = DeviceBeamSearcher(model, variables, compiled, dlm, cfg, 16,
+                             max_steps=8)  # S-1 = 8 < target_len + 20
+    singles = [dev.search(b, L) for b, L in zip(batches, lens)]
+
+    # chunk larger than the cache so one advance would overrun it
+    server = ContinuousBeamServer(dev, lanes=2, chunk=32)
+    served = server.serve(list(zip(batches, lens)))
+    for (h1, s1, w1), (h2, s2, w2) in zip(singles, served):
+        assert list(h1) == list(h2)
+        assert w1 == w2
+        assert s1 == pytest.approx(s2, abs=1e-5)

@@ -123,6 +123,50 @@ def _leaves(tree):
     return jax.tree.leaves(tree)
 
 
+def test_trainer_fused_window_matches_per_microbatch(trained):
+    """A CLI-config epoch trained through the fused accumulation windows
+    (train.fused_window, the default) produces the same params/counters as
+    the per-microbatch path, and really does run windowed: multi-batch
+    windows go through make_train_window programs (and only the fused run
+    builds any)."""
+    import copy
+
+    import jax
+    from emg_tpu.data.dataset import EMGDataset
+    from emg_tpu.train.metrics_writer import MetricsWriter
+    from emg_tpu.train.trainer import Trainer
+
+    base_cfg, _ = trained
+
+    def run(fused: bool):
+        cfg = copy.deepcopy(base_cfg)
+        cfg.train.n_epochs = 1
+        cfg.train.fused_window = fused
+        cfg.paths.output_directory = os.path.join(
+            base_cfg.paths.output_directory, f"fw_{int(fused)}"
+        )
+        trainset = EMGDataset(cfg)
+        devset = EMGDataset(cfg, dev=True)
+        writer = MetricsWriter(cfg.paths.output_directory, use_tensorboard=False)
+        trainer = Trainer(cfg, trainset, devset, writer)
+        state = trainer.train()
+        return trainer, state
+
+    tr_f, st_f = run(True)
+    tr_s, st_s = run(False)
+
+    assert int(st_f.microbatches) == int(st_s.microbatches) > 0
+    assert int(st_f.updates) == int(st_s.updates)
+    for a, b in zip(jax.tree.leaves(st_f.params), jax.tree.leaves(st_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # the fused run used window programs for its multi-batch windows...
+    assert len(tr_f._windows) >= 1
+    # ...and never fell back to per-microbatch programs except for
+    # length-1 windows (which route through the plain step)
+    assert set(tr_s._windows) == set()
+
+
 def test_beam_eval_continuous_matches_batched(trained):
     """--decode.continuous_lanes routes eval through the continuous-batching
     server; the final WER must equal the lock-step batched path's."""

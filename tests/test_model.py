@@ -159,6 +159,31 @@ def test_masked_batchnorm_matches_torch():
     np.testing.assert_allclose(np.asarray(out_eval), expect, rtol=1e-4, atol=1e-5)
 
 
+def test_masked_batchnorm_large_mean_channels():
+    """Channels with |mean| >> std must not catastrophically cancel in the
+    one-pass variance (E[x^2]-E[x]^2 in f32 loses ~all of var when
+    mean^2/var exceeds f32's 2^-24): the mean-shifted form stays at torch
+    BatchNorm1d accuracy (ADVICE r3, models/resnet.py)."""
+    N, L, C = 6, 10, 4
+    n_valid = 5
+    x = RNG.normal(size=(N, L, C)).astype(np.float32)
+    x = x * 0.1 + np.asarray([1000.0, -500.0, 250.0, 0.0], np.float32)
+    bn = MaskedBatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), n_valid, False)
+    out, updated = bn.apply(
+        variables, jnp.asarray(x), n_valid, False, mutable=["batch_stats"]
+    )
+    tbn = torch.nn.BatchNorm1d(C)
+    tx = torch.tensor(x[:n_valid]).permute(0, 2, 1)
+    tref = tbn(tx).permute(0, 2, 1).detach().numpy()
+    np.testing.assert_allclose(np.asarray(out)[:n_valid], tref,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-3, atol=1e-5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Conv stack vs torch oracle
 # ---------------------------------------------------------------------------

@@ -251,6 +251,98 @@ def test_iir_scan_reverse_matches_numpy_recurrence():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("T,blk", [(192, 256), (320, 384)])
+def test_flash_relpos_padded_ragged_bucket(T, blk):
+    """Ragged bucket lengths (192, 320 — not multiples of 128) run the
+    kernel PADDED to the next tile: pad keys are masked, pad query rows
+    sliced off, and the result equals the unpadded naive formulation
+    exactly (the attention-gate path for the 1.4-2.1 s utterance buckets,
+    VERDICT r3 weak #3)."""
+    B, H, Dh, maxpos = 2, 2, 32, 100
+    Tp = ((T + 127) // 128) * 128
+    q = (RNG.normal(size=(B, H, T, Dh)) * 0.3).astype(np.float32)
+    k = (RNG.normal(size=(B, H, T, Dh)) * 0.3).astype(np.float32)
+    v = RNG.normal(size=(B, H, T, Dh)).astype(np.float32)
+    kpad = np.zeros((B, T), bool)
+    kpad[0, -30:] = True
+    table = (RNG.normal(size=(H, 2 * maxpos - 1, Dh)) * 0.2).astype(np.float32)
+
+    # reference: naive at the TRUE length T
+    used_t, oob_t = _window(table, maxpos, T)
+    ref = _naive(q, k, v, np.asarray(used_t), np.asarray(oob_t), kpad)
+
+    # kernel: padded to Tp exactly as the attention gate pads
+    pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+    qp, kp_, vp = np.pad(q, pad), np.pad(k, pad), np.pad(v, pad)
+    kpadp = np.pad(kpad, ((0, 0), (0, Tp - T)), constant_values=True)
+    used_p, oob_p = _window(table, maxpos, Tp)
+    blk_ = 256 if Tp % 256 == 0 else (Tp if Tp <= 512 else 128)
+    assert blk_ == blk
+    out = flash_attention_relpos(
+        jnp.asarray(qp), jnp.asarray(kp_), jnp.asarray(vp),
+        used_p, oob_p, jnp.asarray(kpadp), bq=blk_, bk=blk_, interpret=True,
+    )[:, :, :T]
+    for b in range(B):
+        rows = ~kpad[b]
+        np.testing.assert_allclose(
+            np.asarray(out)[b][:, rows, :], ref[b][:, rows, :],
+            rtol=2e-3, atol=2e-3,
+        )
+
+
+def test_model_flash_gate_pads_ragged_bucket():
+    """EMGModel at a 192-frame bucket routes through the PADDED flash path
+    (Tp=256 satisfies the gate) and matches the XLA encoder."""
+    from emg_tpu.config import ModelConfig
+    from emg_tpu.models import EMGModel
+    import emg_tpu.ops.pallas.flash_attention as fa
+
+    from tests.test_train_step import toy_batch
+
+    cfg_kw = dict(
+        model_size=16, feed_forward_layer_size=32, num_layers_encoder=1,
+        num_layers_decoder=1, n_heads_encoder=2, n_heads_decoder=2,
+        relative_distance=8, dropout_model=0.0, dropout_pos_emb=0.0,
+    )
+    batch = toy_batch(B=2, n_rows=2, chunk=64 * 12, S=8, seed=33)  # T=192
+    model_x = EMGModel(ModelConfig(**cfg_kw))
+    variables = model_x.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 192, False,
+    )
+    mem_x, _, _ = model_x.apply(
+        variables, batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        192, train=False, method=model_x.encode,
+    )
+    calls = []
+    orig_avail = fa.flash_available
+    orig_far = fa.flash_attention_relpos
+
+    def spy(q, k, v, used, oob, kp, **kw):
+        calls.append(q.shape)
+        return orig_far(q, k, v, used, oob, kp, interpret=True)
+
+    fa.flash_available = lambda: True
+    fa.flash_attention_relpos = spy
+    try:
+        model_f = EMGModel(ModelConfig(use_flash_attention=True, **cfg_kw))
+        mem_f, _, _ = model_f.apply(
+            variables, batch.packed_raw, batch.n_rows, batch.offsets,
+            batch.lengths, 192, train=False, method=model_f.encode,
+        )
+    finally:
+        fa.flash_available = orig_avail
+        fa.flash_attention_relpos = orig_far
+    assert calls and all(s[2] == 256 for s in calls)  # padded to the tile
+    for b in range(2):
+        L = int(batch.lengths[b])
+        np.testing.assert_allclose(
+            np.asarray(mem_x)[b, :L], np.asarray(mem_f)[b, :L],
+            rtol=2e-3, atol=2e-3,
+        )
+
+
 def test_model_flash_flag_matches_xla():
     """EMGModel with use_flash_attention produces (near-)identical encoder
     outputs to the XLA path (interpret-mode pallas on CPU)."""

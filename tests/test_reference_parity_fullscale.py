@@ -143,6 +143,57 @@ def test_fullscale_forward_and_greedy_parity(ref, paired_models):
     assert phones_j[: len(phones_t)] == phones_t
 
 
+def test_checkpoint_pt_on_disk_schema_round_trip(ref, paired_models, tmp_path):
+    """utils/convert.py against the EXACT on-disk schema the reference
+    writes (recognition_model.py:310-312: torch.save of the
+    nn.DataParallel-wrapped model's state_dict): every key carries the
+    ``module.`` prefix, BatchNorms include num_batches_tracked, and the
+    dead ``emg_projection`` Linear is present and must be skipped. The
+    converted tree must match the live-state_dict conversion leaf-for-leaf
+    and carry the exact structure EMGModel.init produces."""
+    tmodel, jmodel, variables = paired_models
+
+    wrapped = torch.nn.DataParallel(tmodel)
+    sd = wrapped.state_dict()
+    # the schema really is the reference's: prefixes, skip-keys, BN counters
+    assert all(k.startswith("module.") for k in sd)
+    assert "module.emg_projection.weight" in sd
+    assert "module.conv_blocks.0.bn1.num_batches_tracked" in sd
+
+    path = tmp_path / "model.pt"
+    torch.save(sd, str(path))
+
+    from emg_tpu.utils.convert import load_reference_checkpoint
+
+    converted = load_reference_checkpoint(
+        str(path), num_layers_encoder=LAYERS, num_layers_decoder=LAYERS
+    )
+
+    # leaf-for-leaf equality with the live conversion (paired_models)
+    flat_a = jax.tree_util.tree_flatten_with_path(converted)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(variables)[0]
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (pa, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+    # structure matches what the flax model itself initializes: same
+    # treedef, same shapes (a converter path typo would surface here)
+    X, lengths, y = _example()
+    pb = _packed(X, lengths, y)
+    init_vars = jmodel.init(
+        {"params": jax.random.PRNGKey(0)},
+        pb.packed_raw, pb.n_rows, pb.offsets, pb.lengths,
+        pb.targets[:, :-1], T_FRAMES, False,
+    )
+    got = jax.tree_util.tree_flatten_with_path(converted)[0]
+    want = jax.tree_util.tree_flatten_with_path(
+        {"params": init_vars["params"], "batch_stats": init_vars["batch_stats"]}
+    )[0]
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for (pth, a), (_, b) in zip(got, want):
+        assert np.asarray(a).shape == np.asarray(b).shape, str(pth)
+
+
 def test_fullscale_oob_relpos_branch_is_active():
     """Sanity-check the premise: at T=400 > rel_dist=300 the out-of-range
     relative positions actually receive the -1e8 mask (if this fails the

@@ -214,6 +214,72 @@ def test_remat_encoder_trains():
     assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
+def test_fused_window_matches_per_microbatch(setup):
+    """make_train_window (one launch per accumulation window — the path
+    the Trainer runs with train.fused_window) reproduces the sequential
+    per-microbatch steps exactly: same params, same counters, same RNG
+    folding (each inlined body folds on the SAME microbatch counter), and
+    the same per-microbatch metrics."""
+    from emg_tpu.parallel.train_step import make_train_window
+
+    model, cfg, state, _ = setup
+    batches = [toy_batch(seed=s) for s in (1, 2, 3, 4, 5)]
+    mfs = [16] * len(batches)
+    rng = jax.random.PRNGKey(7)
+
+    # both paths donate their state argument: give each its own copy
+    copy = lambda s: jax.tree.map(lambda x: jnp.array(x), s)
+
+    step = make_train_step(model, cfg, max_frames=16)
+    s_seq = copy(state)
+    seq_metrics = []
+    for b in batches:
+        s_seq, m = step(s_seq, b, rng)
+        seq_metrics.append(m)
+
+    window = make_train_window(model, cfg, mfs)
+    s_win, win_metrics = window(copy(state), tuple(batches), rng)
+
+    assert int(s_win.microbatches) == int(s_seq.microbatches) == 5
+    assert int(s_win.updates) == int(s_seq.updates)
+    assert int(s_win.accum_examples) == int(s_seq.accum_examples)
+    for a, b in zip(jax.tree.leaves(s_win.params), jax.tree.leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(s_win.batch_stats),
+                    jax.tree.leaves(s_seq.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    for mw, ms in zip(win_metrics, seq_metrics):
+        assert float(mw["loss"]) == pytest.approx(float(ms["loss"]), rel=1e-6)
+        assert bool(mw["applied"]) == bool(ms["applied"])
+
+
+@pytest.mark.slow
+def test_trainer_window_plan():
+    """Window boundaries: cut at each optimizer apply (accumulated example
+    count reaching batch_size_grad, carrying the resume-time remainder),
+    at report_loss boundaries, and at the length cap; the plan always
+    covers the epoch exactly."""
+    from emg_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(batch_size_grad=8, report_loss=50)
+    # 2 examples per microbatch -> apply every 4th
+    batches = [[0, 1]] * 10
+    plan = Trainer._plan_windows(batches, 0, cfg)
+    assert plan == [4, 4, 2]
+    # resume mid-accumulation: 6 examples already pending -> first apply
+    # after just one more microbatch
+    plan = Trainer._plan_windows(batches, 6, cfg)
+    assert plan == [1, 4, 4, 1]
+    # report_loss boundary splits a window
+    cfg = TrainConfig(batch_size_grad=100, report_loss=3)
+    plan = Trainer._plan_windows(batches, 0, cfg)
+    assert plan == [3, 3, 3, 1]
+    assert sum(plan) == len(batches)
+
+
 def test_fused_adamw_matches_torch():
     """fused_adamw (one HBM pass per leaf) is numerically torch.optim.AdamW
     — the reference optimizer (recognition_model.py:293) — and optax.adamw,
