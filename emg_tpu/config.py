@@ -154,6 +154,13 @@ class DecodeConfig:
     # utterances decoded per device-beam launch (vmapped search_many);
     # launches are padded to this size so each geometry compiles once
     batch_utterances: int = 8
+    # device-beam trip-count strategy: "static" runs all S-1 steps as one
+    # lax.scan (steps past max_len are inert — right on dispatch-latency-
+    # bound links), "early_exit" stops a lax.while_loop the moment the
+    # search is done (candidate win for short searches on directly-attached
+    # chips). Outputs are identical; benchmarks/beam_scan_tradeoff.py
+    # measures the split (VERDICT r4 item 5).
+    beam_scan: str = "static"
     # continuous-batching beam serving (decode/continuous.py): >0 runs eval
     # through a pool of this many lanes, refilled the moment a search
     # finishes instead of waiting for the slowest of a lock-step batch

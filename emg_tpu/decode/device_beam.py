@@ -301,29 +301,45 @@ class DeviceBeamSearcher:
         body = self._step_fn()
 
         def search(variables, batch: PackedBatch, max_len):
-            """One whole search as a STATIC-trip scan returning only the
-            winning hypothesis.
+            """One whole search in ONE program, returning only the winning
+            hypothesis (single host fetch).
 
-            Measured on the tunnel-attached chip: each program invocation
-            costs ~30 ms of fixed dispatch latency and every extra fetched
-            output buffer another round trip (~20 ms), while a beam step
-            costs ~50 us of device time. So the search runs all S-1 steps
-            as one lax.scan (steps past max_len are inert: ``alive`` is
-            gated off, so no hypothesis can finish late — same semantics
-            as the reference's range(max_len) loop), takes the argmax over
-            the finished buffer ON DEVICE, and returns one small tuple for
-            a single host fetch."""
+            Two trip-count strategies, picked by cfg.beam_scan:
+
+            - "static" (default): all S-1 steps as one lax.scan — steps
+              past max_len are inert (``alive`` gated off, so no
+              hypothesis can finish late; same semantics as the
+              reference's range(max_len) loop). Measured right on the
+              tunnel-attached chip, where each program invocation costs
+              ~30 ms of dispatch latency and a beam step ~50 us of device
+              time, so burning inert steps beats anything host-synced.
+            - "early_exit": a lax.while_loop that stops the moment the
+              search can make no further progress (_carry_done). On a
+              directly-attached TPU a short search (10 steps of an S=64
+              buffer) skips ~80% of the step work; the trade-off is
+              measured by benchmarks/beam_scan_tradeoff.py (VERDICT r4
+              item 5) — outputs are identical either way
+              (tests/test_device_beam.py::test_early_exit_matches_static)."""
             sctx = self._make_ctx(variables, batch, max_len)
 
-            def sbody(carry, _):
-                t, alive = carry[0], carry[4]
-                alive = alive & (t < sctx["max_len"])
-                carry = carry[:4] + (alive,) + carry[5:]
-                return body(variables, sctx, carry), None
+            if self.cfg.beam_scan == "early_exit":
+                def cond(carry):
+                    return ~self._carry_done(sctx, carry)
 
-            out, _ = jax.lax.scan(
-                sbody, self._init_carry(), None, length=self.S - 1
-            )
+                out = jax.lax.while_loop(
+                    cond, lambda c: body(variables, sctx, c),
+                    self._init_carry(),
+                )
+            else:
+                def sbody(carry, _):
+                    t, alive = carry[0], carry[4]
+                    alive = alive & (t < sctx["max_len"])
+                    carry = carry[:4] + (alive,) + carry[5:]
+                    return body(variables, sctx, carry), None
+
+                out, _ = jax.lax.scan(
+                    sbody, self._init_carry(), None, length=self.S - 1
+                )
             fin_scores, fin_hist, fin_words, fin_wc = out[self.FINISHED_SLOTS]
             best = jnp.argmax(fin_scores)
             return fin_scores[best], fin_hist[best], fin_words[best], fin_wc[best]

@@ -241,6 +241,43 @@ def test_continuous_server_matches_single(setup):
         assert s1 == pytest.approx(s2, abs=1e-5)
 
 
+def test_early_exit_matches_static(setup):
+    """--decode.beam_scan=early_exit (lax.while_loop stopping at
+    _carry_done) returns exactly what the default static-trip scan does,
+    across short and long searches."""
+    import dataclasses
+
+    compiled, lm, dlm, lex_words = setup
+    model = tiny_model()
+    cfg = DecodeConfig(BeamWidth=8, extra_steps=6)
+    batches, lens = [], []
+    variables = None
+    for seed in (61, 62, 63):
+        b = toy_batch(B=1, n_rows=2, chunk=64, S=10, seed=seed)
+        if variables is None:
+            variables = model.init(
+                {"params": jax.random.PRNGKey(23)},
+                b.packed_raw, b.n_rows, b.offsets, b.lengths,
+                b.targets[:, :-1], 16, False,
+            )
+        batches.append(b)
+        lens.append(int((b.targets[0, 1:] != 40).sum()))
+    # a short search too: target_len 2 exercises the early exit hard
+    lens[-1] = 2
+    static = DeviceBeamSearcher(model, variables, compiled, dlm, cfg, 16,
+                                max_steps=16)
+    early = DeviceBeamSearcher(
+        model, variables, compiled, dlm,
+        dataclasses.replace(cfg, beam_scan="early_exit"), 16, max_steps=16,
+    )
+    for b, L in zip(batches, lens):
+        h1, s1, w1 = static.search(b, L)
+        h2, s2, w2 = early.search(b, L)
+        assert list(h1) == list(h2)
+        assert w1 == w2
+        assert s1 == pytest.approx(s2, abs=1e-5)
+
+
 def test_continuous_server_caps_at_cache_capacity(setup):
     """A request whose target_len + extra_steps exceeds the searcher's
     max_steps must stop at cache capacity (S-1 steps) exactly like the
