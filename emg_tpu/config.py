@@ -155,12 +155,14 @@ class DecodeConfig:
     # launches are padded to this size so each geometry compiles once
     batch_utterances: int = 8
     # device-beam trip-count strategy: "static" runs all S-1 steps as one
-    # lax.scan (steps past max_len are inert — right on dispatch-latency-
-    # bound links), "early_exit" stops a lax.while_loop the moment the
-    # search is done (candidate win for short searches on directly-attached
-    # chips). Outputs are identical; benchmarks/beam_scan_tradeoff.py
-    # measures the split (VERDICT r4 item 5).
-    beam_scan: str = "static"
+    # lax.scan (steps past max_len are inert), "early_exit" stops a
+    # lax.while_loop the moment the search is done. Outputs are identical;
+    # benchmarks/beam_scan_tradeoff.py measured early_exit winning BOTH
+    # regimes on v5e through the relay (short 10-step: 77.9 vs 145.9 ms;
+    # long full-length: 111.9 vs 137.9 ms p50 — 2026-08-18), so it is the
+    # default; "static" remains for dispatch-bound links where inert steps
+    # are cheaper than a host-visible trip count.
+    beam_scan: str = "early_exit"
     # continuous-batching beam serving (decode/continuous.py): >0 runs eval
     # through a pool of this many lanes, refilled the moment a search
     # finishes instead of waiting for the slowest of a lock-step batch
@@ -175,9 +177,13 @@ class DecodeConfig:
     compute_dtype: str = "bfloat16"
     # run the decoder token step through the fused Pallas kernels
     # (ops/pallas/fused_decode_step.py: 3 kernels/layer instead of ~460
-    # XLA micro-fusions/step); parity pinned by tests/test_fused_decode.py.
-    # Effective on TPU only — other platforms fall back to the XLA step.
-    fused_step: bool = True
+    # XLA micro-fusions/step); parity pinned by tests/test_fused_decode.py
+    # and by the executed on-device gate in maybe_fused_decoder. Verified
+    # on v5e silicon 2026-08-18 (compiles, token-identical), but MEASURED
+    # SLOWER than the XLA step there (beam p50 103.9 vs 82.5 ms at W=100;
+    # benchmarks/fused_beam_check.py), so it defaults off; flip on for
+    # dispatch-profiles where kernel-count dominates.
+    fused_step: bool = False
     # int8 weights for the cache-resident decode stack (utils/quantize.py):
     # the decoder re-reads its matmul kernels every token, so per-channel
     # int8 storage halves the bf16 per-step weight traffic again. Token

@@ -22,11 +22,18 @@ import jax
 import jax.numpy as jnp
 
 NEG_FILL = -1e8  # reference masked_fill value
-# smallest PADDED length (multiple of 128) routed to the flash kernel;
-# measured wins at >= 256 (see the gate comment below) — override with
-# EMG_TPU_FLASH_MIN_T for on-silicon gate measurements
-# (benchmarks/flash_gate_check.py)
-FLASH_MIN_T = int(os.environ.get("EMG_TPU_FLASH_MIN_T", "256"))
+# smallest NATIVE length routed to the flash kernel, measured per regime on
+# v5e (benchmarks/flash_gate_check.py, 2026-08-18): serving fwd — flash wins
+# from T=256 (2.24 vs 2.69 ms; ties approaching it) and 2.7-3.2x by T>=384;
+# training fwd+bwd — XLA wins through 256 (3.79 vs 3.87 ms) and flash from
+# 384 (6.81 vs 11.08 ms). The ragged 192 bucket (padded to 256) LOSES on
+# both (serve 2.03 vs 1.90, train 3.80 vs 2.63), so the gate thresholds the
+# native T, keeping 192 on XLA while still padding hypothetical ragged
+# buckets above the threshold. EMG_TPU_FLASH_MIN_T overrides BOTH for gate
+# measurements.
+_min_t_env = os.environ.get("EMG_TPU_FLASH_MIN_T")
+FLASH_MIN_T_SERVE = int(_min_t_env) if _min_t_env else 256
+FLASH_MIN_T_TRAIN = int(_min_t_env) if _min_t_env else 384
 STRUCT_MASK = -jnp.inf  # structural (not-yet-generated) positions
 
 
@@ -167,14 +174,13 @@ class MultiHeadAttention(nn.Module):
         # — profiled r3)
         T_ = q.shape[2]
         Tp = ((T_ + 127) // 128) * 128
+        min_t = FLASH_MIN_T_SERVE if deterministic else FLASH_MIN_T_TRAIN
         if (
             self.use_flash
             and self.relative_positional
             and not causal
-            and Tp >= FLASH_MIN_T  # measured: 2.8x XLA at T=512, 7.5x at
-            #  T=1024, serving tie at T=256 (v5e); below that the gate is
-            #  unmeasured — benchmarks/flash_gate_check.py records the
-            #  table, EMG_TPU_FLASH_MIN_T overrides for the measurement
+            and T_ >= min_t  # per-regime thresholds measured on v5e —
+            #  see the FLASH_MIN_T_* comment at the top of this file
         ):
             from emg_tpu.ops.pallas.flash_attention import (
                 flash_attention_relpos,

@@ -209,7 +209,7 @@ def _self_block_kernel(step_ref, x_ref, wqk_ref, sqk_ref, wv_ref, sv_ref,
     x = x_ref[...]  # (B, D) bf16
     B = x.shape[0]
     S = k_ref.shape[0]  # k block (S, B, Dh)
-    step = step_ref[0]
+    step = step_ref[0, 0]
     dt = x.dtype
 
     qk = jax.lax.dot_general(
@@ -308,7 +308,11 @@ def self_block(step, x, w_qk, w_v, w_o, ln1, k_cache, v_cache, kpadT, qpad,
         kern,
         grid=(H,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # step (1,)
+            # step lives in SMEM as (1, 1): a 1-D (1,) operand would gain a
+            # vmap dim -> (lanes, 1) whose size-1 batch block fails Mosaic's
+            # last-two-dims whole/tiled check; with 2-D the vmap dim is a
+            # squeezed leading dim and the last two dims stay whole.
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # step (1, 1)
             pl.BlockSpec((B, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
             *sqk, *sv, *so,
             pl.BlockSpec((2, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
@@ -335,7 +339,7 @@ def self_block(step, x, w_qk, w_v, w_o, ln1, k_cache, v_cache, kpadT, qpad,
         ],
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(step, jnp.int32).reshape(1), x, *vqk, *vv, *vo, ln1,
+    )(jnp.asarray(step, jnp.int32).reshape(1, 1), x, *vqk, *vv, *vo, ln1,
       k_cache, v_cache, kpadT, qpad)
     return x1, k_new, v_newT
 
@@ -428,50 +432,84 @@ def cross_block(x1, w_qc, w_oc, ln2, cross_k, cross_v, mpad,
 
 def _cross_block_rows_kernel(x1_ref, wqc_ref, sqc_ref, woc_ref, soc_ref,
                              ln2_ref, ck_ref, cv_ref, mpadT_ref,
-                             x2_ref, acc_ref, *, H, Dh, scale, q_qc, q_oc):
-    """Each row attends its OWN memory: ck (T, B, Dh), cv (Dh, T, B),
-    mpadT (T, B) — the same transposed layouts as the self block, minus
-    the current-token splice (memory K/V are complete)."""
+                             x2_ref, acc_ref, m_ref, d_ref, o_ref,
+                             *, H, Dh, scale, q_qc, q_oc):
+    """Each row attends its OWN memory: ck (TC, B, Dh), cv (Dh, TC, B),
+    mpadT (TC, B) — the same transposed layouts as the self block, minus
+    the current-token splice (memory K/V are complete).
+
+    The memory axis T is walked in grid chunks with an ONLINE softmax
+    (running max / denom / weighted-V in f32 scratch): a whole-T block of
+    the (Dh, T, B) cache pads B to the 128-lane tile, so at T=512 a single
+    block costs Dh*T*128*2B = 12.6 MB — double-buffered that exceeds the
+    16 MB scoped-VMEM limit *in launch contexts where XLA stacks other
+    live VMEM buffers* (a standalone compile-probe passed while the same
+    shapes OOMed inside the greedy lax.while_loop). Chunking bounds the
+    working set regardless of T and context."""
     h = pl.program_id(0)
+    t = pl.program_id(1)
+    NT = pl.num_programs(1)
     x1 = x1_ref[...]  # (B, D)
     dt = x1.dtype
+    B = x1.shape[0]
+
+    @pl.when(t == 0)
+    def _reset():
+        m_ref[...] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+        d_ref[...] = jnp.zeros(d_ref.shape, jnp.float32)
+        o_ref[...] = jnp.zeros(o_ref.shape, jnp.float32)
+
     q = jax.lax.dot_general(
         x1, _deq(wqc_ref, sqc_ref, q_qc, dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, Dh)
-    ck = ck_ref[...]  # (T, B, Dh)
+    ck = ck_ref[...]  # (TC, B, Dh)
     q_r = q.astype(ck.dtype)
     logits = jnp.sum(
         q_r[None].astype(jnp.float32) * ck.astype(jnp.float32), axis=-1
-    ) * scale  # (T, B)
+    ) * scale  # (TC, B)
     logits = jnp.where(mpadT_ref[...] != 0, NEG_FILL, logits)
-    m = jnp.max(logits, axis=0, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=0, keepdims=True)  # (T, B) f32
-    p_r = p.astype(ck.dtype)
-    o = jnp.sum(
-        p_r[None].astype(jnp.float32) * cv_ref[...].astype(jnp.float32),
-        axis=1,
-    ).astype(ck.dtype)  # (Dh, B)
-    woc = _deq(woc_ref, soc_ref, q_oc, dt)
-    contrib = jax.lax.dot_general(
-        o.astype(woc.dtype), woc, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, D)
+    m_old = m_ref[...]  # (1, B)
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=0, keepdims=True))
+    corr = jnp.exp(m_old - m_new)  # (1, B)
+    p = jnp.exp(logits - m_new)  # (TC, B) f32, unnormalized
+    m_ref[...] = m_new
+    d_ref[...] = d_ref[...] * corr + jnp.sum(p, axis=0, keepdims=True)
+    o_ref[...] = o_ref[...] * corr + jnp.sum(
+        p[None] * cv_ref[...].astype(jnp.float32), axis=1
+    )  # (Dh, B)
 
-    @pl.when(h == 0)
-    def _init():
-        acc_ref[...] = contrib
+    @pl.when(t == NT - 1)
+    def _head_done():
+        o = (o_ref[...] / d_ref[...]).astype(ck.dtype)  # (Dh, B)
+        woc = _deq(woc_ref, soc_ref, q_oc, dt)
+        contrib = jax.lax.dot_general(
+            o.astype(woc.dtype), woc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, D)
 
-    @pl.when(h > 0)
-    def _acc():
-        acc_ref[...] += contrib
+        @pl.when(h == 0)
+        def _init():
+            acc_ref[...] = contrib
 
-    @pl.when(h == H - 1)
-    def _finish():
-        ca = acc_ref[...].astype(x1.dtype)
-        y = (x1 + ca).astype(jnp.float32)
-        x2_ref[...] = _layer_norm(y, ln2_ref[...]).astype(x2_ref.dtype)
+        @pl.when(h > 0)
+        def _acc():
+            acc_ref[...] += contrib
+
+        @pl.when(h == H - 1)
+        def _finish():
+            ca = acc_ref[...].astype(x1.dtype)
+            y = (x1 + ca).astype(jnp.float32)
+            x2_ref[...] = _layer_norm(y, ln2_ref[...]).astype(x2_ref.dtype)
+
+
+def _chunk_t(T: int) -> int:
+    """Largest power-of-two chunk <= 128 dividing T (T itself if prime-ish:
+    serve-time T comes from FRAME_BUCKETS and is a multiple of 8)."""
+    for tc in (128, 64, 32, 16, 8):
+        if T % tc == 0:
+            return tc
+    return T
 
 
 def cross_block_rows(x1, w_qc, w_oc, ln2, ck_t, cv_t, mpadT,
@@ -480,28 +518,45 @@ def cross_block_rows(x1, w_qc, w_oc, ln2, ck_t, cv_t, mpadT,
     Weights may be QuantTensors."""
     B, D = x1.shape
     H, T, _, Dh = ck_t.shape
+    TC = _chunk_t(T)
     scale = 1.0 / (Dh ** 0.5)
     vqc, sqc, q_qc = _wq_arrays(w_qc, headed=True)
     voc, soc, q_oc = _wq_arrays(w_oc, headed=True)
     kern = functools.partial(_cross_block_rows_kernel, H=H, Dh=Dh,
                              scale=scale, q_qc=q_qc, q_oc=q_oc)
+
+    def _w(spec):  # lift a head-indexed weight spec to the (h, t) grid
+        if spec.block_shape is None:
+            return pl.BlockSpec(memory_space=spec.memory_space)
+        bs, im = spec.block_shape, spec.index_map
+        return pl.BlockSpec(bs, lambda h, t, _im=im: _im(h),
+                            memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         kern,
-        grid=(H,),
+        grid=(H, T // TC),
         in_specs=[
-            pl.BlockSpec((B, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            *sqc, *soc,
-            pl.BlockSpec((2, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, T, B, Dh), lambda h: (h, 0, 0, 0),
+            pl.BlockSpec((B, D), lambda h, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, Dh, T, B), lambda h: (h, 0, 0, 0),
+            *[_w(s) for s in sqc], *[_w(s) for s in soc],
+            pl.BlockSpec((2, D), lambda h, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, B), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, TC, B, Dh), lambda h, t: (h, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Dh, TC, B), lambda h, t: (h, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, B), lambda h, t: (t, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, D), lambda h: (0, 0),
+        out_specs=pl.BlockSpec((B, D), lambda h, t: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D), x1.dtype),
-        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),
+            pltpu.VMEM((1, B), jnp.float32),
+            pltpu.VMEM((1, B), jnp.float32),
+            pltpu.VMEM((Dh, B), jnp.float32),
+        ],
         interpret=interpret,
     )(x1, *vqc, *voc, ln2, ck_t, cv_t, mpadT)
 
@@ -735,14 +790,39 @@ class FusedDecoder:
             ]
             mpad = jnp.zeros((1, T), bool)
             fn = self.step
-        jax.jit(fn).lower(
-            tok, jnp.int32(0), caches, cross, tokens, mpad
+        # compile inside a minimal lax.while_loop: scoped-VMEM accounting
+        # differs between a standalone step and a loop body where XLA
+        # stacks other live VMEM buffers alongside the kernel (observed on
+        # v5e: a standalone probe at (1, 33, 512) passed while the same
+        # shapes OOMed inside the greedy while_loop). Probing in loop
+        # context makes "probe passes" mean "launch will not OOM".
+        def _loop(fn_, tok_, caches_, cross_, tokens_, mpad_):
+            def body(c):
+                i, tk, ca = c
+                logits, ca = fn_(tk, i, ca, cross_, tokens_, mpad_)
+                tk = jnp.argmax(logits, axis=-1).astype(tk.dtype)
+                return i + 1, tk, ca
+
+            _, _, ca = jax.lax.while_loop(
+                lambda c: c[0] < 1, body, (jnp.int32(0), tok_, caches_))
+            return ca
+
+        jax.jit(functools.partial(_loop, fn)).lower(
+            tok, caches, cross, tokens, mpad
         ).compile()
         if vmapped:
             two = lambda x: jnp.stack([x, x])
-            jax.jit(jax.vmap(fn)).lower(
-                two(tok), jnp.zeros((2,), jnp.int32),
-                jax.tree.map(two, caches), jax.tree.map(two, cross),
+
+            def vfn(tk, i, ca, cross_, tokens_, mpad_):
+                # lanes carry their own step counters in the continuous
+                # server — vmap over step as well, broadcast from the
+                # loop's scalar counter
+                return jax.vmap(fn)(
+                    tk, jnp.full((tk.shape[0],), i, jnp.int32), ca,
+                    cross_, tokens_, mpad_)
+
+            jax.jit(functools.partial(_loop, vfn)).lower(
+                two(tok), jax.tree.map(two, caches), jax.tree.map(two, cross),
                 two(tokens), two(mpad),
             ).compile()
 
