@@ -234,14 +234,29 @@ def build_greedy_pipeline():
     return run_once, utts, geo, model, variables, stages
 
 
+def _sync(out):
+    """Execution barrier that provably waits: fetch one element to host.
+
+    jax.block_until_ready is NOT a reliable barrier over the axon relay —
+    measured 2026-08-18: after block_until_ready returned, a scalar
+    readback on the same donated-state chain waited another 10.4 s for the
+    backlog to drain, and min-of-repeats timings built on it came out 20x+
+    too fast (MFU >1000%). A device_get of a single element cannot
+    complete before the producing program has, so every timing loop ends
+    with one."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf if getattr(leaf, "ndim", 0) == 0
+                              else leaf.ravel()[:1]))
+
+
 def _best_time(fn, iters=8, repeats=3):
-    jax.block_until_ready(fn())  # compile + warm
+    _sync(fn())  # compile + warm
     best_dt = float("inf")
     for _ in range(repeats):
         t0 = time.time()
         for _ in range(iters):
             out = fn()
-        jax.block_until_ready(out)
+        _sync(out)
         best_dt = min(best_dt, (time.time() - t0) / iters)
     return best_dt
 
@@ -420,7 +435,7 @@ def measure_train(geo, n_utts=N_UTTS, max_frames=MAX_FRAMES):
     key = jax.random.key(1, impl="rbg")  # matches Trainer's hardware-RNG keys
 
     state, _ = step(state, batch, key)  # compile
-    jax.block_until_ready(state.params)
+    _sync(state.params)
     iters = 10
     best_dt = float("inf")
     for _ in range(3):
@@ -428,7 +443,7 @@ def measure_train(geo, n_utts=N_UTTS, max_frames=MAX_FRAMES):
         t0 = time.time()
         for _ in range(iters):
             state, _ = step(state, batch, key)
-        jax.block_until_ready(state.params)
+        _sync(state.params)
         best_dt = min(best_dt, time.time() - t0)
 
     step_time = best_dt / iters
@@ -521,20 +536,54 @@ def measure_train_accum(frames8, host_staged=False):
     key = jax.random.key(1, impl="rbg")
     batch_tuple = tuple(b for b, _, _ in batches)
 
-    def one_window(state):
-        state, _ = window(state, batch_tuple, key)
+    def one_window(state, bt=batch_tuple):
+        state, _ = window(state, bt, key)
         return state
 
     state = one_window(state)  # compile all buckets
-    jax.block_until_ready(state.params)
+    _sync(state.params)
     iters = 5
     best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            state = one_window(state)
-        jax.block_until_ready(state.params)
-        best_dt = min(best_dt, time.time() - t0)
+    if host_staged:
+        # the Trainer's regime: a prefetch thread assembles numpy batches
+        # and jax.device_put's them AHEAD of the launch (trainer._prefetch),
+        # so the upload overlaps the previous window's compute instead of
+        # riding the dispatch. Measured serialized (numpy straight into the
+        # launch) the same window drops 38% -> 17% MFU on v5e; this
+        # measures what the staged pipeline actually recovers.
+        import queue as _queue
+        import threading as _threading
+
+        for _ in range(3):
+            q: "_queue.Queue" = _queue.Queue(maxsize=len(batches) + 8)
+
+            def producer():
+                for _ in range(iters):
+                    for b, _mf, _f in batches:
+                        q.put(jax.device_put(b))
+
+            t = _threading.Thread(target=producer, daemon=True)
+            t.start()
+            # steady-state regime: the Trainer's prefetch runs ahead
+            # ACROSS windows, so a window boundary normally finds the next
+            # window already staged — let the producer fill one window's
+            # worth before the clock starts
+            while q.qsize() < len(batches):
+                time.sleep(0.001)
+            t0 = time.time()
+            for _ in range(iters):
+                staged = tuple(q.get() for _ in range(len(batches)))
+                state = one_window(state, staged)
+            _sync(state.params)
+            best_dt = min(best_dt, time.time() - t0)
+            t.join()
+    else:
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(iters):
+                state = one_window(state)
+            _sync(state.params)
+            best_dt = min(best_dt, time.time() - t0)
 
     window_time = best_dt / iters
     total_fwd = sum(f for _, _, f in batches)

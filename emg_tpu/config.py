@@ -129,6 +129,11 @@ class TrainConfig:
     # compiled before new compositions fall back to per-microbatch
     # launches — bounds compile time on long runs with reshuffled epochs
     window_max_compiles: int = 64
+    # prefetch queue depth (batches assembled AND device_put ahead of the
+    # training loop). A fused window launches only once ALL its
+    # microbatches are staged, so the depth defaults past the 32-microbatch
+    # window cap; each staged batch holds a few MB of HBM.
+    prefetch_depth: int = 40
 
 
 @dataclass
@@ -185,10 +190,13 @@ class DecodeConfig:
     # dispatch-profiles where kernel-count dominates.
     fused_step: bool = False
     # int8 weights for the cache-resident decode stack (utils/quantize.py):
-    # the decoder re-reads its matmul kernels every token, so per-channel
-    # int8 storage halves the bf16 per-step weight traffic again. Token
-    # parity at decisive margins pinned by tests/test_quantize.py. Off by
-    # default pending a real-checkpoint PER check.
+    # per-channel int8 storage halves the decoder's per-step weight reads
+    # (measured 113.4 -> 57.3 MB). Token parity pinned by
+    # tests/test_quantize.py and words-identical on silicon — but beam p50
+    # at W=100 is a WASH at this model size (82.1 int8 vs 84.0 bf16 ms XLA
+    # step, v5e 2026-08-18, benchmarks/int8_decode_check.py): the step is
+    # latency- not weight-bandwidth-bound. Off by default with the
+    # measurement cited; worth revisiting only on larger decoder stacks.
     quantize_int8: bool = False
 
 

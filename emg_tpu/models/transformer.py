@@ -225,8 +225,11 @@ class TransformerEncoder(nn.Module):
         layer_cls = TransformerEncoderLayer
         if self.remat:
             # rematerialize each layer on the backward pass: trades FLOPs
-            # for activation memory (jax.checkpoint under the hood)
-            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(2,))
+            # for activation memory (jax.checkpoint under the hood).
+            # static_argnums counts self as 0, so deterministic is 3 — it
+            # must stay a Python bool for the flash gate's per-regime
+            # threshold branch (models/attention.py)
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
         for i in range(self.num_layers):
             src = layer_cls(
                 self.d_model,
