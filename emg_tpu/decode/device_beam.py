@@ -219,10 +219,25 @@ class DeviceBeamSearcher:
             new_wc = wc[hsel]
             new_words = words[hsel]
 
+            # one batched LM call scores the eos continuation AND the K
+            # word-boundary expansions together ((1+K, W) — the lookups
+            # are fusion-count-bound, so one widened cond_logp beats two)
+            exp_words_ids = self.node_words[new_node]  # (W, K)
+            wid = exp_words_ids.T  # (K, W) lexicon word ids, -1 pad
+            wid_s = jnp.maximum(wid, 0)
+            lm_w = lm.lex2lm[wid_s]  # (K, W)
+            ctx_b = jnp.broadcast_to(new_ctx[None], (K,) + new_ctx.shape)
+            ctx_all = jnp.concatenate([new_ctx[None], ctx_b])  # (1+K, W, CW)
+            w_all = jnp.concatenate(
+                [jnp.full((1, W), lm.eos_id, lm_w.dtype), lm_w]
+            )
+            cond_all = lm.cond_logp(ctx_all, w_all)  # (1+K, W)
+            eos_cond = cond_all[0]
+            cond_w = cond_all[1:]  # (K, W)
+
             # finished hypotheses: score = mean(per-step probs) where the
             # last step also carries the eos LM + final length penalty
             ended = valid & (tok == end_tok)
-            eos_cond = lm.cond_logp(new_ctx, jnp.full((W,), lm.eos_id))
             fin_add = (new_runlm + eos_cond
                        + (new_chars.astype(jnp.float32) + 1.0) ** cfg.FinalLengthPenalty) * wt
             fin_score = (new_cum + fin_add) / (t + 1).astype(jnp.float32)
@@ -246,13 +261,8 @@ class DeviceBeamSearcher:
             # slots are scored in ONE batched (K, W) pass — the row layout
             # [base, k=0, k=1, ...] (row h's parent is h % W) is identical
             # to the per-k loop this replaces, just fewer fusions per step
-            exp_words_ids = self.node_words[new_node]  # (W, K)
-            wid = exp_words_ids.T  # (K, W) lexicon word ids, -1 pad
+            # (wid/lm_w/cond_w come from the combined lookup above)
             has = active[None] & (wid >= 0) & (new_wc[None] < MW)
-            wid_s = jnp.maximum(wid, 0)
-            lm_w = lm.lex2lm[wid_s]  # (K, W)
-            ctx_b = jnp.broadcast_to(new_ctx[None], (K,) + new_ctx.shape)
-            cond_w = lm.cond_logp(ctx_b, lm_w)  # (K, W)
             runlm_k = new_runlm[None] + cond_w
             chars_k = (new_chars[None] + lm.word_chars[wid_s]
                        + jnp.where(new_wc[None] > 0, 1, 0))
