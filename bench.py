@@ -326,37 +326,27 @@ def measure_beam_p50(model, variables):
     ]
     dlm = build_device_lm(lm, lex_words)
 
-    # single ~2.2 s utterance geometry
+    # single ~2.2 s utterance geometry. Serving goes through
+    # search_from_raw: ONE program (device DSP -> soft clip -> packing ->
+    # encode -> beam) whose upload is the raw 1 kHz signal (~80 KB at
+    # bucket 2560) instead of the padded row-pack (~409 KB) — on the
+    # bandwidth-starved relay the input upload was the second-largest p50
+    # term. The encoder runs at the 256-frame bucket the CLI would pick
+    # for this utterance (F=189), not the pipeline-wide MAX_FRAMES=512.
     utt = synth_utterances(seed=3)[2]
-    raw_bufs = np.zeros((1, DSP_BUCKET, 8), np.float32)
-    raw_bufs[0, : utt.shape[0]] = utt
-    probe = preprocess_emg_batched(
-        jnp.asarray(raw_bufs), np.asarray([utt.shape[0]], np.int32),
-        np.zeros(1, np.int32), np.zeros(1, np.int32), ())
-    F = int(probe.n_frames[0])
-    raw = 50.0 * np.tanh(np.asarray(probe.emg_orig)[0, 8 : 8 + 8 * F] / 20.0 / 50.0)
-    n_rows = (8 * F + 1599) // 1600
-    rows_b = 8 * ((n_rows + 7) // 8)
-    flat = np.full((rows_b * 1600, 8), 42.0, np.float32)
-    flat[: 8 * F] = raw
     target_len = 20
     S = 33
-    batch = PackedBatch(
-        packed_raw=flat.reshape(-1, 1600, 8), n_rows=np.int32(n_rows),
-        lengths=np.asarray([F], np.int32), offsets=np.zeros(1, np.int32),
-        targets=np.full((1, S), 42, np.int64),
-        target_lengths=np.asarray([S], np.int32), n_examples=np.int32(1),
-    )
+    beam_frames = 256
 
     cfg = DecodeConfig(BeamWidth=100)
     searcher = DeviceBeamSearcher(
-        model, variables, compiled, dlm, cfg, MAX_FRAMES, max_steps=S - 1
+        model, variables, compiled, dlm, cfg, beam_frames, max_steps=S - 1
     )
-    searcher.search(batch, target_len)  # compile + warm
+    searcher.search_from_raw(utt, target_len)  # compile + warm
     times = []
     for _ in range(11):
         t0 = time.time()
-        searcher.search(batch, target_len)
+        searcher.search_from_raw(utt, target_len)
         times.append(time.time() - t0)
     return float(np.median(times) * 1000.0)
 

@@ -23,12 +23,17 @@ import jax
 import jax.numpy as jnp
 
 from emg_tpu.config import DecodeConfig
-from emg_tpu.data.batching import PackedBatch
+from emg_tpu.data.batching import PackedBatch, bucket_up
 from emg_tpu.decode.device_lm import DeviceLM
 from emg_tpu.decode.prefix_tree import CompiledTree
 from emg_tpu.text.phonemes import START_ID
 
 NEG = -jnp.inf
+
+# raw 1 kHz sample-count buckets for search_from_raw (one compile each);
+# 1280 samples = 1.28 s, the shortest corpus utterances; steps sized so
+# upload pad waste stays under ~35%
+RAW_SAMPLE_BUCKETS = [1280, 1920, 2560, 3840, 5120, 7680, 10240, 15360]
 
 
 class DeviceBeamSearcher:
@@ -307,55 +312,120 @@ class DeviceBeamSearcher:
 
         return body
 
+    def _run_search(self, body, variables, sctx):
+        """Run the step loop to completion and return the winning hypothesis.
+
+        Two trip-count strategies, picked by cfg.beam_scan:
+
+        - "static": all S-1 steps as one lax.scan — steps past max_len
+          are inert (``alive`` gated off, so no hypothesis can finish
+          late; same semantics as the reference's range(max_len) loop).
+        - "early_exit" (default, measured faster in both short and long
+          regimes — benchmarks/beam_scan_tradeoff.py): a lax.while_loop
+          that stops the moment the search can make no further progress
+          (_carry_done). Outputs are identical either way
+          (tests/test_device_beam.py::test_early_exit_matches_static)."""
+        if self.cfg.beam_scan == "early_exit":
+            def cond(carry):
+                return ~self._carry_done(sctx, carry)
+
+            out = jax.lax.while_loop(
+                cond, lambda c: body(variables, sctx, c),
+                self._init_carry(),
+            )
+        else:
+            def sbody(carry, _):
+                t, alive = carry[0], carry[4]
+                alive = alive & (t < sctx["max_len"])
+                carry = carry[:4] + (alive,) + carry[5:]
+                return body(variables, sctx, carry), None
+
+            out, _ = jax.lax.scan(
+                sbody, self._init_carry(), None, length=self.S - 1
+            )
+        fin_scores, fin_hist, fin_words, fin_wc = out[self.FINISHED_SLOTS]
+        best = jnp.argmax(fin_scores)
+        return fin_scores[best], fin_hist[best], fin_words[best], fin_wc[best]
+
     def _build(self):
         body = self._step_fn()
 
         def search(variables, batch: PackedBatch, max_len):
             """One whole search in ONE program, returning only the winning
-            hypothesis (single host fetch).
-
-            Two trip-count strategies, picked by cfg.beam_scan:
-
-            - "static" (default): all S-1 steps as one lax.scan — steps
-              past max_len are inert (``alive`` gated off, so no
-              hypothesis can finish late; same semantics as the
-              reference's range(max_len) loop). Measured right on the
-              tunnel-attached chip, where each program invocation costs
-              ~30 ms of dispatch latency and a beam step ~50 us of device
-              time, so burning inert steps beats anything host-synced.
-            - "early_exit": a lax.while_loop that stops the moment the
-              search can make no further progress (_carry_done). On a
-              directly-attached TPU a short search (10 steps of an S=64
-              buffer) skips ~80% of the step work; the trade-off is
-              measured by benchmarks/beam_scan_tradeoff.py (VERDICT r4
-              item 5) — outputs are identical either way
-              (tests/test_device_beam.py::test_early_exit_matches_static)."""
+            hypothesis (single host fetch)."""
             sctx = self._make_ctx(variables, batch, max_len)
-
-            if self.cfg.beam_scan == "early_exit":
-                def cond(carry):
-                    return ~self._carry_done(sctx, carry)
-
-                out = jax.lax.while_loop(
-                    cond, lambda c: body(variables, sctx, c),
-                    self._init_carry(),
-                )
-            else:
-                def sbody(carry, _):
-                    t, alive = carry[0], carry[4]
-                    alive = alive & (t < sctx["max_len"])
-                    carry = carry[:4] + (alive,) + carry[5:]
-                    return body(variables, sctx, carry), None
-
-                out, _ = jax.lax.scan(
-                    sbody, self._init_carry(), None, length=self.S - 1
-                )
-            fin_scores, fin_hist, fin_words, fin_wc = out[self.FINISHED_SLOTS]
-            best = jnp.argmax(fin_scores)
-            return fin_scores[best], fin_hist[best], fin_words[best], fin_wc[best]
+            return self._run_search(body, variables, sctx)
 
         self._search_fn_raw = search
         return jax.jit(search, static_argnums=())
+
+    # ------------------------------------------------------------------
+    def _build_raw(self, Tb: int):
+        """Jitted raw-signal program for raw-sample bucket ``Tb``: device
+        DSP -> soft clip -> row packing -> encoder -> beam, so serving an
+        utterance uploads ONLY the (Tb, C) 1 kHz signal (~5x smaller than
+        the padded row-pack the PackedBatch path ships, which dominates
+        p50 on bandwidth-starved attachments)."""
+        from emg_tpu.data.batching import PAD_VALUE
+        from emg_tpu.dsp.features import n_frames as frames_of
+        from emg_tpu.dsp.pipeline import (FEAT_RATE, SOURCE_RATE,
+                                          preprocess_emg_batched)
+        from emg_tpu.dsp.resample import subsample_length
+
+        # static packing geometry: the most frames a Tb-sample utterance
+        # can produce (clipped to the searcher's encoder bucket)
+        F_cap = min(
+            frames_of(subsample_length(Tb, FEAT_RATE, SOURCE_RATE)),
+            self.max_frames,
+        )
+        rows_b = max(1, -(-(8 * F_cap) // 1600))
+        body = self._step_fn()
+
+        def search_raw(variables, buf, n, max_len):
+            zeros1 = jnp.zeros((1,), jnp.int32)
+            out = preprocess_emg_batched(buf[None], n[None], zeros1, zeros1, ())
+            F = jnp.minimum(out.n_frames[0], F_cap).astype(jnp.int32)
+            # reference raw-path transform (read_emg.py:426-428) and
+            # alignment: emg_orig rows [8, 8+8F)
+            raw = 50.0 * jnp.tanh(out.emg_orig[0] / 20.0 / 50.0)
+            pos = jnp.arange(rows_b * 1600, dtype=jnp.int32)
+            src = jnp.clip(pos + 8, 0, raw.shape[0] - 1)
+            flat = jnp.where(
+                (pos < 8 * F)[:, None], jnp.take(raw, src, axis=0), PAD_VALUE
+            )
+            batch = PackedBatch(
+                packed_raw=flat.reshape(rows_b, 1600, raw.shape[1]),
+                n_rows=(8 * F + 1599) // 1600,
+                lengths=F[None],
+                offsets=zeros1,
+                targets=jnp.full((1, 1), 42, jnp.int32),
+                target_lengths=jnp.ones((1,), jnp.int32),
+                n_examples=jnp.int32(1),
+            )
+            sctx = self._make_ctx(variables, batch, max_len)
+            return self._run_search(body, variables, sctx)
+
+        return jax.jit(search_raw), rows_b
+
+    def search_from_raw(self, raw: np.ndarray, target_len_tokens: int
+                        ) -> Tuple[np.ndarray, float, List[str]]:
+        """Same contract as ``search`` but from the raw 1 kHz EMG signal
+        ((n, C) float32, no neighbor context): DSP, packing, encode and
+        the whole beam run as ONE device program per raw-length bucket."""
+        if not hasattr(self, "_raw_fns"):
+            self._raw_fns = {}
+        n, C = raw.shape
+        Tb = bucket_up(n, RAW_SAMPLE_BUCKETS)
+        if Tb not in self._raw_fns:
+            self._raw_fns[Tb] = self._build_raw(Tb)
+        fn, _ = self._raw_fns[Tb]
+        buf = np.zeros((Tb, C), np.float32)
+        buf[:n] = raw
+        max_len = jnp.int32(int(target_len_tokens) + self.cfg.extra_steps)
+        score, hist, words, wc = jax.device_get(
+            fn(self.variables, jnp.asarray(buf), jnp.int32(n), max_len)
+        )
+        return self._format(score, hist, words, wc)
 
     # ------------------------------------------------------------------
     def search_many(self, batches: List[PackedBatch], target_lens: List[int]):

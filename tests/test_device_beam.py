@@ -313,3 +313,58 @@ def test_continuous_server_caps_at_cache_capacity(setup):
         assert list(h1) == list(h2)
         assert w1 == w2
         assert s1 == pytest.approx(s2, abs=1e-5)
+
+
+def test_search_from_raw_matches_packed_path(setup):
+    """search_from_raw (one program: device DSP -> soft clip -> packing ->
+    encode -> beam, uploading only the 1 kHz signal) must produce the same
+    winner as DSP-ing on the side and shipping the packed rows through
+    ``search``. Guards the serving fast path's packing geometry (row
+    bucket, the [8, 8+8F) emg_orig alignment, 42.0 padding)."""
+    from emg_tpu.data.batching import PackedBatch
+    from emg_tpu.dsp.pipeline import preprocess_emg_batched
+
+    compiled, lm, dlm, lex_words = setup
+    model = tiny_model()
+    rng = np.random.default_rng(3)
+    n = 700  # -> raw bucket 1280; F = 58 frames <= max_frames 64
+    raw = (120 * rng.normal(size=(n, 8))).astype(np.float32)
+
+    # reference-side path: DSP separately, pack rows, search(batch)
+    buf = np.zeros((1, 1280, 8), np.float32)
+    buf[0, :n] = raw
+    zeros1 = np.zeros(1, np.int32)
+    probe = preprocess_emg_batched(
+        jnp.asarray(buf), np.asarray([n], np.int32), zeros1, zeros1, ()
+    )
+    F = int(probe.n_frames[0])
+    assert 0 < F <= 64
+    clipped = 50.0 * np.tanh(
+        np.asarray(probe.emg_orig)[0, 8 : 8 + 8 * F] / 20.0 / 50.0
+    )
+    flat = np.full((1600, 8), 42.0, np.float32)
+    flat[: 8 * F] = clipped
+    S = 12
+    batch = PackedBatch(
+        packed_raw=flat.reshape(1, 1600, 8), n_rows=np.int32(1),
+        lengths=np.asarray([F], np.int32), offsets=zeros1,
+        targets=np.full((1, S), 42, np.int64),
+        target_lengths=np.asarray([S], np.int32), n_examples=np.int32(1),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(5)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 64, False,
+    )
+    cfg = DecodeConfig(BeamWidth=8, extra_steps=6)
+    dev = DeviceBeamSearcher(model, variables, compiled, dlm, cfg, 64,
+                             max_steps=14)
+    target_len = 6
+    h_a, s_a, w_a = dev.search(batch, target_len)
+    h_b, s_b, w_b = dev.search_from_raw(raw, target_len)
+
+    assert np.isfinite(s_a) == np.isfinite(s_b)
+    if np.isfinite(s_a):
+        assert list(h_a) == list(h_b)
+        assert w_a == w_b
+        assert s_a == pytest.approx(s_b, abs=1e-4)
