@@ -321,6 +321,15 @@ def main(argv=None):
         recipe = argv[i + 1]
         del argv[i : i + 2]
     cfg = Config.from_args(argv)
+    if cfg.paths.debug:
+        # reference parity: --debug forces CPU execution
+        # (recognition_model.py:25,321,353,396 maps it to device='cpu').
+        # The backend is not initialized yet at this point (importing jax
+        # does not touch it), so the platform override still takes effect.
+        import jax
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
     if recipe:
         from emg_tpu.train.recipes import apply_recipe
 

@@ -179,3 +179,29 @@ def test_annotate_context():
     with annotate("test_region"):
         x = jnp.ones(4) + 1
     assert float(x.sum()) == 8.0
+
+
+def test_debug_flag_forces_cpu_backend(tmp_path):
+    """--paths.debug forces CPU execution (reference parity:
+    recognition_model.py:25 maps --debug to device='cpu')."""
+    import subprocess
+    import sys
+
+    script = (
+        "import emg_tpu.cli as cli\n"
+        "def probe(cfg):\n"
+        "    import jax\n"
+        "    print('BACKEND=' + jax.default_backend())\n"
+        "cli.train = probe\n"
+        "cli.main(['--paths.debug=true', '--output_directory', r'%s'])\n"
+    ) % str(tmp_path / "out")
+    env = dict(os.environ)
+    # clear any test-harness CPU forcing so the flag itself must do the work
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, cwd=repo, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "BACKEND=cpu" in r.stdout
