@@ -171,6 +171,20 @@ def evaluate_saved_beam_search(cfg: Config):
     # the device beam needs lexicon constraints; unconstrained decodes fall
     # back to the host searcher
     use_device = cfg.decode.device_beam and cfg.decode.Constrained
+    from emg_tpu.decode.kenlm_binary import is_kenlm_binary
+
+    if use_device and is_kenlm_binary(cfg.paths.lang_model):
+        # KenLM *binary* LMs expose only hashed n-gram keys, so the device
+        # LM tables (which need enumerable n-grams) cannot be compiled from
+        # one; score through the host searcher instead — the reference's own
+        # regime (PrefixTree.py:288-290 queries kenlm per hypothesis).
+        log.warning(
+            "lang_model %s is a KenLM binary: device-beam LM tables need an "
+            "enumerable ARPA file, falling back to the host beam searcher "
+            "(pass the .arpa to re-enable the device beam)",
+            cfg.paths.lang_model,
+        )
+        use_device = False
     if use_device:
         from emg_tpu.decode.device_beam import DeviceBeamSearcher
         from emg_tpu.decode.device_lm import build_device_lm

@@ -102,7 +102,23 @@ class ArpaLanguageModel:
 
 
 def load_language_model(path: str):
-    """Prefer the native C++ scorer; fall back to the Python reader."""
+    """Load an LM by sniffing the file format.
+
+    KenLM *binary* files (the reference's actual ``descriptions/lm.binary``
+    artifact, recognition_model.py:35) load through the kenlm package when
+    it is installed, else through the repo's own PROBING-format reader
+    (decode/kenlm_binary.py). ARPA text prefers the native C++ scorer and
+    falls back to the pure-Python reader.
+    """
+    from emg_tpu.decode.kenlm_binary import KenlmBinaryModel, is_kenlm_binary
+
+    if is_kenlm_binary(path):
+        try:
+            import kenlm  # the definitely-bit-exact engine, when present
+
+            return kenlm.Model(path)
+        except ImportError:
+            return KenlmBinaryModel(path)
     try:
         from emg_tpu.decode.lm_binding import NativeArpaLanguageModel
 
