@@ -116,9 +116,11 @@ def load_language_model(path: str):
         try:
             import kenlm  # the definitely-bit-exact engine, when present
 
-            return kenlm.Model(path)
+            if not getattr(kenlm, "__emg_tpu_stub__", False):
+                return kenlm.Model(path)
         except ImportError:
-            return KenlmBinaryModel(path)
+            pass
+        return KenlmBinaryModel(path)
     try:
         from emg_tpu.decode.lm_binding import NativeArpaLanguageModel
 

@@ -327,6 +327,54 @@ def import_reference():
     return _cache
 
 
+def import_reference_beam():
+    """Additionally import the reference's beam-search stack (BeamSearch.py,
+    PrefixTree.py, Dictionary.py) — the one reference code path the base
+    harness does not cover. PrefixTree.py does ``import kenlm`` at module
+    scope (its LM seam, PrefixTree.py:3,288-290); kenlm is absent from this
+    image, so the stub routes ``kenlm.Model`` through the repo's own LM
+    loader — which also makes the reference consume our KenLM-binary reader
+    exactly the way it would consume kenlm."""
+    ns = import_reference()
+    if "BeamSearch" in ns:
+        return ns
+
+    if "kenlm" not in sys.modules:
+        try:
+            __import__("kenlm")
+        except ImportError:
+            kenlm = types.ModuleType("kenlm")
+
+            def _stub_model(path):
+                from emg_tpu.decode.kenlm_binary import (
+                    KenlmBinaryModel, is_kenlm_binary,
+                )
+                from emg_tpu.decode.ngram import ArpaLanguageModel
+
+                return (KenlmBinaryModel(path) if is_kenlm_binary(path)
+                        else ArpaLanguageModel(path))
+
+            kenlm.Model = _stub_model
+            kenlm.__emg_tpu_stub__ = True
+            sys.modules["kenlm"] = kenlm
+
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        import Dictionary  # noqa: F401
+        import Phones  # noqa: F401
+        import Words  # noqa: F401
+        import PrefixTree  # noqa: F401
+        import BeamSearch  # noqa: F401
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+
+    ns.update(
+        Dictionary=Dictionary, Phones=Phones, Words=Words,
+        PrefixTree=PrefixTree, BeamSearch=BeamSearch,
+    )
+    return ns
+
+
 def set_tiny_flags(FLAGS, model_size=64, ff=128, layers=2, heads=4,
                    rel_dist=16):
     FLAGS.model_size = model_size

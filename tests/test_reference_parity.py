@@ -195,6 +195,95 @@ def test_greedy_decode_matches_reference(ref, paired_models):
     assert phones_j[: len(phones_t)] == phones_t
 
 
+@pytest.fixture(scope="module")
+def beam_fixture(paired_models, tmp_path_factory):
+    """Both beam stacks over the same tiny lexicon + trigram LM: the
+    reference's PrefixTree/BeamSearch (through the kenlm seam) and our
+    compiled tree + host BeamSearcher."""
+    from tests.reference_harness import import_reference_beam
+
+    from emg_tpu.decode.kenlm_binary import write_kenlm_binary
+    from emg_tpu.decode.lm_train import train_arpa, write_arpa
+    from emg_tpu.decode.ngram import load_language_model
+    from emg_tpu.decode.prefix_tree import init_tree
+
+    ns = import_reference_beam()
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    phones_f = os.path.join(fixtures, "phonesSet")
+    vocab_f = os.path.join(fixtures, "vocabulary")
+    lex_f = os.path.join(fixtures, "lexicon.txt")
+
+    td = tmp_path_factory.mktemp("beamlm")
+    sents = [
+        "the cat sat on a mat", "the dog ran", "a man saw the cat",
+        "men ran to the dog", "one two three", "the cat and the dog ran",
+        "hello world", "it's done", "a cat sat", "the man and men saw it",
+    ]
+    arpa = str(td / "lm.arpa")
+    write_arpa(train_arpa(sents, order=3), arpa)
+    # the reference consumes the LM through kenlm.Model(lm.binary)
+    # (PrefixTree.py:288-290); hand it an actual binary via our writer so
+    # this test also executes the binary reader under the reference's usage
+    binary = str(td / "lm.binary")
+    write_kenlm_binary(arpa, binary)
+
+    ref_tree = ns["PrefixTree"].init_tree(phones_f, vocab_f, lex_f)
+    ref_lm = ns["PrefixTree"].init_language_model(binary)
+
+    our_tree = init_tree(phones_f, vocab_f, lex_f).compile_tables()
+    our_lm = load_language_model(binary)
+    return ns, ref_tree, ref_lm, our_tree, our_lm
+
+
+def test_beam_search_matches_reference(paired_models, beam_fixture):
+    """The reference's run_single_bs (BeamSearch.py:41-170) and our host
+    BeamSearcher (decode/beam.py) produce identical winning word sequences
+    and matching final scores on >= 20 utterances under converted weights —
+    the last reference decode path executed head-to-head (VERDICT r4 §6)."""
+    from emg_tpu.config import DecodeConfig
+    from emg_tpu.decode.beam import BeamSearcher
+
+    tmodel, jmodel, variables = paired_models
+    ns, ref_tree, ref_lm, our_tree, our_lm = beam_fixture
+    cfg = DecodeConfig()  # BeamWidth 100, LMWeight 0.3, penalties .85/.95
+    max_frames = 32
+    searcher = BeamSearcher(jmodel, variables, our_tree, our_lm, cfg, max_frames)
+
+    n_match = 0
+    for trial in range(20):
+        rng = np.random.default_rng(100 + trial)
+        n_rows = 3
+        L = int(rng.integers(18, 25))  # frames (max 24 = 3*64/8)
+        X = rng.normal(size=(n_rows, CHUNK, 8)).astype(np.float32)
+        S = int(rng.integers(6, 10))
+        y = np.full((1, S), 42, np.int64)
+        y[0, 0] = 41
+        y[0, 1 : S - 1] = rng.integers(0, 40, S - 2)
+        y[0, S - 1] = 40
+        target = y[:, 1:]
+
+        with torch.no_grad():
+            hist_t, score_t, words_t = ns["BeamSearch"].run_single_bs(
+                tmodel, torch.tensor(X), torch.tensor(target), 43,
+                ref_tree, ref_lm, "cpu", [L],
+            )
+
+        pb = _packed(X, [L], y)
+        target_len = int((target != 40).sum())
+        hist_j, score_j, words_j = searcher.search(pb, target_len)
+
+        assert words_j == words_t, (
+            f"trial {trial}: words diverge {words_j} vs {words_t}"
+        )
+        assert list(map(int, hist_j)) == [int(t) for t in hist_t], (
+            f"trial {trial}: histories diverge"
+        )
+        # reference accumulates in float32; ours in float64
+        assert abs(score_j - score_t) < 5e-3, (trial, score_j, score_t)
+        n_match += 1
+    assert n_match == 20
+
+
 def test_dsp_pipeline_matches_reference_loader(ref, tmp_path):
     """dsp/pipeline.preprocess_emg_host reproduces the reference
     load_utterance DSP chain (read_emg.py:57-102) on the same session files,
