@@ -80,6 +80,11 @@ class DataConfig:
     # raw-EMG chunk length used for fixed-length packing before the CNN
     # (reference recognition_model.py:77 uses 200*8)
     packed_chunk: int = 1600
+    # host-RAM budget for the dataset's loaded-example LRU cache, in bytes
+    # (the reference's lru_cache(maxsize=None), read_emg.py:422, grows
+    # unboundedly — multi-GB at the 8,055-utterance corpus). 0 disables
+    # caching entirely.
+    cache_bytes: int = 2 << 30
 
 
 @dataclass

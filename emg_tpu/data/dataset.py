@@ -15,6 +15,7 @@ import logging
 import os
 import random
 import re
+from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -144,7 +145,15 @@ class EMGDataset:
         self.num_sessions = len(directories)
         self.text_transform = TextTransform()
         self.phone_transform = PhoneTransform()
-        self._cache: Dict[int, dict] = {}
+        # bounded LRU over loaded examples. The reference caches every
+        # example forever (read_emg.py:422 lru_cache(maxsize=None)) — at the
+        # real corpus scale (8,055 train utterances x ~400 KB of mfccs +
+        # features + raw EMG) that is multi-GB host RSS before epoch 1 ends,
+        # so this rebuild evicts least-recently-used examples past a byte
+        # budget (data.cache_bytes; 0 disables caching).
+        self._cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._cache_bytes = 0
+        self._cache_budget = int(dcfg.cache_bytes)
 
         sample = self.load_utterance(*self.example_indices[0])
         self.num_speech_features = sample[0].shape[1]
@@ -213,7 +222,8 @@ class EMGDataset:
 
         result = _copy.copy(self)
         result.example_indices = [e for e in self.example_indices if e[0].silent]
-        result._cache = {}
+        result._cache = OrderedDict()
+        result._cache_bytes = 0
         return result
 
     def subset(self, fraction: float) -> "EMGDataset":
@@ -223,14 +233,33 @@ class EMGDataset:
         result.example_indices = self.example_indices[
             : int(fraction * len(self.example_indices))
         ]
-        result._cache = {}
+        result._cache = OrderedDict()
+        result._cache_bytes = 0
         return result
 
     def __len__(self):
         return len(self.example_indices)
 
+    @staticmethod
+    def _example_nbytes(result: dict) -> int:
+        n = 512  # dict + string overhead, roughly
+        for v in result.values():
+            if isinstance(v, np.ndarray):
+                n += v.nbytes
+        return n
+
+    def _cache_put(self, i: int, result: dict) -> None:
+        if self._cache_budget <= 0:
+            return
+        self._cache[i] = result
+        self._cache_bytes += self._example_nbytes(result)
+        while self._cache_bytes > self._cache_budget and len(self._cache) > 1:
+            _, evicted = self._cache.popitem(last=False)
+            self._cache_bytes -= self._example_nbytes(evicted)
+
     def __getitem__(self, i: int) -> dict:
         if i in self._cache:
+            self._cache.move_to_end(i)
             return self._cache[i]
         directory_info, idx = self.example_indices[i]
         mfccs, emg_feats, text, book_location, phonemes, raw_emg, _ = self.load_utterance(
@@ -278,7 +307,7 @@ class EMGDataset:
             self.phone_transform.phone_to_int(phonemes), dtype=np.int64
         )
         result["audio_file"] = audio_file
-        self._cache[i] = result
+        self._cache_put(i, result)
         return result
 
     @staticmethod

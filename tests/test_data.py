@@ -86,6 +86,33 @@ def test_getitem_transforms(corpus):
 
 
 @pytest.mark.slow
+def test_getitem_cache_is_bounded(corpus):
+    """The loaded-example cache evicts LRU past data.cache_bytes (the
+    reference's lru_cache(maxsize=None), read_emg.py:422, grows forever)."""
+    import copy
+
+    cfg, _ = corpus
+    cfg = copy.deepcopy(cfg)
+    ds_full = EMGDataset(cfg)
+    one = EMGDataset._example_nbytes(ds_full[0])
+
+    cfg.data.cache_bytes = 2 * one  # room for ~2 examples
+    ds = EMGDataset(cfg)
+    items = [ds[i] for i in range(len(ds))]
+    assert len(ds._cache) < len(ds)
+    assert ds._cache_bytes <= cfg.data.cache_bytes + one  # one in-flight put
+    # evicted items reload correctly (fresh object, same content)
+    again = ds[0]
+    np.testing.assert_array_equal(again["phonemes_int"], items[0]["phonemes_int"])
+    np.testing.assert_allclose(again["raw_emg"], items[0]["raw_emg"])
+
+    cfg.data.cache_bytes = 0  # disabled
+    ds0 = EMGDataset(cfg)
+    _ = ds0[0]
+    assert len(ds0._cache) == 0
+
+
+@pytest.mark.slow
 def test_silent_aliasing(corpus):
     cfg, _ = corpus
     ds = EMGDataset(cfg)
