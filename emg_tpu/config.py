@@ -139,6 +139,15 @@ class TrainConfig:
     # microbatches are staged, so the depth defaults past the 32-microbatch
     # window cap; each staged batch holds a few MB of HBM.
     prefetch_depth: int = 40
+    # stage packed_raw as int16 (data/batching.quantize_packed_raw): halves
+    # the dominant host->device upload; dequantized on device at fixed
+    # scale. Training numerics move at the BN-stat 1e-5 level (pinned by
+    # tests). false restores float32 staging.
+    stage_int16: bool = True
+    # host->device upload threads in the prefetch stage: >1 keeps several
+    # transfers in flight when per-transfer latency (not bandwidth) limits
+    # staging — the relay-attached regime
+    stage_threads: int = 2
 
 
 @dataclass

@@ -124,3 +124,41 @@ def make_packed_batch(
 
 def frame_bucket_for(lengths: Sequence[int]) -> int:
     return bucket_up(max(lengths), FRAME_BUCKETS)
+
+
+# -- int16 staging ----------------------------------------------------------
+# The soft clip (reference read_emg.py:426-428, 50*tanh(x/50)) bounds
+# |packed_raw| <= 50, so the raw rows quantize to int16 at fixed scale with
+# ~0.0015 absolute resolution (-90 dB of the signal's ~5 std) — halving the
+# bytes of the dominant host->device upload. The train step dequantizes on
+# device (dequantize_packed_raw); training numerics move by BN-stat noise at
+# the 1e-5 level (pinned by tests/test_train_step.py::test_int16_staging).
+RAW_INT16_SCALE = 32767.0 / 50.0
+
+
+def quantize_packed_raw(pb: PackedBatch) -> PackedBatch:
+    """Host-side: packed_raw float32 -> int16 for cheaper staging."""
+    if pb.packed_raw.dtype == np.int16:
+        return pb
+    q = np.clip(
+        np.rint(np.asarray(pb.packed_raw) * RAW_INT16_SCALE), -32767, 32767
+    ).astype(np.int16)
+    return PackedBatch(
+        packed_raw=q, n_rows=pb.n_rows, lengths=pb.lengths,
+        offsets=pb.offsets, targets=pb.targets,
+        target_lengths=pb.target_lengths, n_examples=pb.n_examples,
+    )
+
+
+def dequantize_packed_raw(pb: PackedBatch) -> PackedBatch:
+    """Device-side (traceable): int16 packed_raw -> float32."""
+    import jax.numpy as jnp
+
+    if pb.packed_raw.dtype != jnp.int16:
+        return pb
+    x = pb.packed_raw.astype(jnp.float32) * (1.0 / RAW_INT16_SCALE)
+    return PackedBatch(
+        packed_raw=x, n_rows=pb.n_rows, lengths=pb.lengths,
+        offsets=pb.offsets, targets=pb.targets,
+        target_lengths=pb.target_lengths, n_examples=pb.n_examples,
+    )

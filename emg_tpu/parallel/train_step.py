@@ -171,6 +171,11 @@ def make_train_step_fn(model, cfg, max_frames: int):
         return loss, (dec_loss, enc_loss, new_bs)
 
     def train_step(state: TrainState, batch: PackedBatch, rng) -> Tuple[TrainState, dict]:
+        # int16-staged batches (data.batching.quantize_packed_raw) carry the
+        # raw rows at half the upload bytes; dequantize on device
+        from emg_tpu.data.batching import dequantize_packed_raw
+
+        batch = dequantize_packed_raw(batch)
         step_rng = jax.random.fold_in(rng, state.microbatches)
         dropout_rng, shift_rng, aug_rng, ss_rng = jax.random.split(step_rng, 4)
         if use_aug:

@@ -187,33 +187,83 @@ class Trainer:
         boundary while the host catches up."""
         if depth is None:
             depth = self.config.train.prefetch_depth
-        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        cfg = self.config.train
+        n_up = max(1, cfg.stage_threads) if self.mesh is None else 0
+        # assembly -> (optional uploader pool) -> ordered consumer. Batches
+        # stage as int16 raw rows (half the upload bytes; the train step
+        # dequantizes on device) and several device_puts stay in flight at
+        # once — per-transfer latency, not bandwidth, limits the
+        # relay-attached staging path.
+        aq: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
+        cond = threading.Condition()
+        results: Dict[int, tuple] = {}
+        errors: List[BaseException] = []
+        n_done = [0]
 
-        def worker():
+        def assemble():
             try:
-                for idxs in batches:
+                for seq, idxs in enumerate(batches):
                     pb, max_frames, _ = self._prepare(dataset, idxs)
-                    if self.mesh is None:
-                        # async upload; with a mesh, _prepare's shard_batch
-                        # already placed the arrays
-                        pb = jax.device_put(pb)
-                    q.put((pb, max_frames))
-            except BaseException as e:  # surface worker errors to the consumer
-                q.put(("error", e))
-            finally:
-                q.put(sentinel)
+                    if cfg.stage_int16 and self.mesh is None:
+                        from emg_tpu.data.batching import quantize_packed_raw
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, tuple) and len(item) == 2 and item[0] == "error":
-                raise item[1]
+                        pb = quantize_packed_raw(pb)
+                    aq.put((seq, pb, max_frames))
+            except BaseException as e:  # surface worker errors to the consumer
+                with cond:
+                    errors.append(e)
+                    cond.notify_all()
+            finally:
+                for _ in range(max(n_up, 1)):
+                    aq.put(sentinel)
+
+        def upload():
+            try:
+                while True:
+                    item = aq.get()
+                    if item is sentinel:
+                        break
+                    seq, pb, max_frames = item
+                    if n_up > 0:
+                        pb = jax.device_put(pb)  # async; transfer in flight
+                    with cond:
+                        # bound staged-but-unconsumed batches to the queue
+                        # depth (each holds HBM)
+                        while len(results) >= depth and not errors:
+                            cond.wait(timeout=0.5)
+                        results[seq] = (pb, max_frames)
+                        cond.notify_all()
+            except BaseException as e:
+                with cond:
+                    errors.append(e)
+                    cond.notify_all()
+            finally:
+                with cond:
+                    n_done[0] += 1
+                    cond.notify_all()
+
+        ta = threading.Thread(target=assemble, daemon=True)
+        ta.start()
+        ups = [threading.Thread(target=upload, daemon=True)
+               for _ in range(max(n_up, 1))]
+        for t in ups:
+            t.start()
+
+        for seq in range(len(batches)):
+            with cond:
+                while seq not in results:
+                    if errors:
+                        raise errors[0]
+                    if n_done[0] == len(ups):
+                        raise RuntimeError("prefetch workers exited early")
+                    cond.wait(timeout=0.5)
+                item = results.pop(seq)
+                cond.notify_all()
             yield item
-        t.join()
+        ta.join()
+        for t in ups:
+            t.join()
 
     def _eval_step_for(self, max_frames: int):
         if max_frames not in self._eval_steps:

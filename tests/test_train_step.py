@@ -315,3 +315,41 @@ def test_fused_adamw_matches_torch():
     np.testing.assert_allclose(
         np.asarray(params["w"]), tp.detach().numpy(), rtol=2e-5, atol=2e-6
     )
+
+
+def test_int16_staging(setup):
+    """int16-staged batches (data/batching.quantize_packed_raw) dequantize
+    on device inside the train step; losses match float32 staging to the
+    quantization-noise level and the round trip is bounded by the scale."""
+    from emg_tpu.data.batching import (
+        RAW_INT16_SCALE,
+        dequantize_packed_raw,
+        quantize_packed_raw,
+    )
+
+    model, cfg, state, batch = setup
+    q = quantize_packed_raw(batch)
+    assert q.packed_raw.dtype == np.int16
+    assert quantize_packed_raw(q) is q  # idempotent
+    back = np.asarray(dequantize_packed_raw(jax.tree.map(jnp.asarray, q)).packed_raw)
+    assert np.abs(back - batch.packed_raw).max() <= 0.5 / RAW_INT16_SCALE + 1e-7
+    # the PAD fill value round-trips to ~42 (BN-stat noise level)
+    pad = float(np.asarray(dequantize_packed_raw(
+        quantize_packed_raw(PackedBatch(
+            packed_raw=np.full((1, 8, 8), 42.0, np.float32),
+            n_rows=np.int32(1), lengths=np.ones(1, np.int32),
+            offsets=np.zeros(1, np.int32),
+            targets=np.full((1, 4), 42, np.int64),
+            target_lengths=np.full(1, 4, np.int32), n_examples=np.int32(1),
+        ))).packed_raw)[0, 0, 0])
+    assert abs(pad - 42.0) < 1e-3
+
+    step = make_train_step(model, cfg, max_frames=16)
+    rng = jax.random.key(0, impl="rbg")
+    import copy
+
+    state_f = jax.tree.map(jnp.array, state)
+    state_q = jax.tree.map(jnp.array, state)
+    state_f, m_f = step(state_f, batch, rng)
+    state_q, m_q = step(state_q, q, rng)
+    assert float(m_q["loss"]) == pytest.approx(float(m_f["loss"]), rel=1e-3)
