@@ -155,6 +155,13 @@ def build_greedy_pipeline():
                                    np.zeros(N_UTTS, np.int32), ())
     frames = [int(f) for f in np.asarray(probe.n_frames)]
     geo = packed_geometry(frames)
+    # serve at the frame bucket the CLI would pick for this workload (the
+    # same treatment the beam got in r4: encode at bucket_up(max frames),
+    # not the pipeline-wide MAX_FRAMES) — identical utterances/outputs,
+    # ~(512/384)x less encoder pad work and cross-attention per step
+    from emg_tpu.data.batching import FRAME_BUCKETS, bucket_up
+
+    serve_frames = bucket_up(max(frames), FRAME_BUCKETS)
 
     S = MAX_STEPS + 1
     targets = np.full((N_UTTS, S), 42, np.int64)
@@ -163,7 +170,7 @@ def build_greedy_pipeline():
         {"params": jax.random.PRNGKey(0)},
         batch_template.packed_raw, batch_template.n_rows,
         batch_template.offsets, batch_template.lengths,
-        jnp.asarray(targets[:, :-1]), MAX_FRAMES, False,
+        jnp.asarray(targets[:, :-1]), serve_frames, False,
     )
 
     utt_idx = jnp.asarray(geo["utt_idx"])
@@ -176,7 +183,7 @@ def build_greedy_pipeline():
     from emg_tpu.ops.pallas.fused_decode_step import maybe_fused_decoder
 
     fused = (maybe_fused_decoder(cfg, variables, N_UTTS, MAX_STEPS + 1,
-                                 T=MAX_FRAMES, rows=True)
+                                 T=serve_frames, rows=True)
              if DecodeConfig().fused_step else None)
 
     @jax.jit
@@ -192,7 +199,7 @@ def build_greedy_pipeline():
             lengths=batch.lengths, offsets=batch.offsets, targets=batch.targets,
             target_lengths=batch.target_lengths, n_examples=batch.n_examples,
         )
-        dec, _ = greedy_decode_cached(model, variables, b, MAX_FRAMES,
+        dec, _ = greedy_decode_cached(model, variables, b, serve_frames,
                                       MAX_STEPS, fused=fused)
         return dec
 
@@ -218,7 +225,7 @@ def build_greedy_pipeline():
         memory, enc_logits, src_mask = model.apply(
             variables,
             flat.reshape(-1, 1600, 8), batch.n_rows, batch.offsets,
-            batch.lengths, MAX_FRAMES, train=False, method=model.encode,
+            batch.lengths, serve_frames, train=False, method=model.encode,
         )
         return memory
 
@@ -535,38 +542,71 @@ def measure_train_accum(frames8, host_staged=False):
     iters = 5
     best_dt = float("inf")
     if host_staged:
-        # the Trainer's regime: a prefetch thread assembles numpy batches
-        # and jax.device_put's them AHEAD of the launch (trainer._prefetch),
-        # so the upload overlaps the previous window's compute instead of
-        # riding the dispatch. Measured serialized (numpy straight into the
-        # launch) the same window drops 38% -> 17% MFU on v5e; this
-        # measures what the staged pipeline actually recovers.
+        # the Trainer's regime (trainer._prefetch): batches stage as int16
+        # raw rows (half the upload bytes; the step dequantizes on device)
+        # through TrainConfig.stage_threads parallel device_put threads, all
+        # AHEAD of the launch so transfers overlap the previous window's
+        # compute. Measured serialized (numpy straight into the launch) the
+        # same window drops 38% -> 17% MFU on v5e; this measures what the
+        # staged pipeline actually recovers.
         import queue as _queue
         import threading as _threading
 
+        from emg_tpu.data.batching import quantize_packed_raw
+
+        n_up = max(1, TrainConfig().stage_threads)
+        use_int16 = TrainConfig().stage_int16
+        host_batches = [
+            (quantize_packed_raw(b) if use_int16 else b) for b, _, _ in batches
+        ]
+        # int16-staged batches compile their own window signature
+        window_q = make_train_window(model, tcfg, [mf for _, mf, _ in batches])
+
+        def one_window_q(state, bt):
+            state, _ = window_q(state, bt, key)
+            return state
+
         for _ in range(3):
-            q: "_queue.Queue" = _queue.Queue(maxsize=len(batches) + 8)
+            qs = [_queue.Queue(maxsize=len(batches) + 8) for _ in range(n_up)]
 
-            def producer():
+            def producer(k):
                 for _ in range(iters):
-                    for b, _mf, _f in batches:
-                        q.put(jax.device_put(b))
+                    for j in range(k, len(host_batches), n_up):
+                        qs[k].put((j, jax.device_put(host_batches[j])))
 
-            t = _threading.Thread(target=producer, daemon=True)
-            t.start()
+            ts = [_threading.Thread(target=producer, args=(k,), daemon=True)
+                  for k in range(n_up)]
+            for t in ts:
+                t.start()
             # steady-state regime: the Trainer's prefetch runs ahead
             # ACROSS windows, so a window boundary normally finds the next
-            # window already staged — let the producer fill one window's
+            # window already staged — let the producers fill one window's
             # worth before the clock starts
-            while q.qsize() < len(batches):
+            while sum(q.qsize() for q in qs) < len(batches):
                 time.sleep(0.001)
             t0 = time.time()
+            leftovers = []  # next-iteration items pulled early
             for _ in range(iters):
-                staged = tuple(q.get() for _ in range(len(batches)))
-                state = one_window(state, staged)
+                staged = [None] * len(batches)
+                got = 0
+                for j, b in leftovers:
+                    staged[j], got = b, got + 1
+                leftovers = []
+                while got < len(batches):
+                    for k in range(n_up):
+                        try:
+                            j, b = qs[k].get_nowait()
+                        except _queue.Empty:
+                            continue
+                        if staged[j] is None:
+                            staged[j], got = b, got + 1
+                        else:  # same slot from the NEXT iteration
+                            leftovers.append((j, b))
+                state = one_window_q(state, tuple(staged))
             _sync(state.params)
             best_dt = min(best_dt, time.time() - t0)
-            t.join()
+            for t in ts:
+                t.join()
     else:
         for _ in range(3):
             t0 = time.time()
