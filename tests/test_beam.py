@@ -154,6 +154,7 @@ def test_beam_search_end_to_end(arpa_path):
     assert history[-1] == 40  # ends with </S>
 
 
+@pytest.mark.slow
 def test_beam_search_unconstrained_flag(arpa_path):
     tree = init_tree(
         os.path.join(FIXTURES, "phonesSet"),

@@ -408,6 +408,7 @@ def test_preprocess_emg_batched_matches_single():
         )
 
 
+@pytest.mark.slow
 def test_preprocess_emg_batched_with_context():
     """Neighbor-context stripping works per utterance in the batch."""
     from emg_tpu.dsp.pipeline import preprocess_emg, preprocess_emg_batched

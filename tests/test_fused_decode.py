@@ -22,7 +22,10 @@ from emg_tpu.ops.pallas.fused_decode_step import FusedDecoder
 from tests.test_train_step import toy_batch
 
 
-@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("compute_dtype", [
+    pytest.param("float32", marks=pytest.mark.slow),  # smoke keeps the
+    "bfloat16",  # serving-default dtype; f32 runs in the slow tier
+])
 def test_fused_step_matches_decode_step(compute_dtype):
     cfg = ModelConfig(
         model_size=16, feed_forward_layer_size=32,
@@ -102,6 +105,7 @@ def test_fused_step_matches_decode_step(compute_dtype):
     )
 
 
+@pytest.mark.slow
 def test_fused_step_int8_matches_xla_int8():
     """With utils/quantize int8 weights, the fused kernels dequantize
     IN-KERNEL with the exact Int8Tensor formula, so the fused and XLA
@@ -150,6 +154,7 @@ def test_fused_step_int8_matches_xla_int8():
         )
 
 
+@pytest.mark.slow
 def test_fused_step_under_vmap():
     """search_many / the continuous server run the step under vmap (pallas
     prepends a grid dim); each lane must reproduce the unbatched step."""

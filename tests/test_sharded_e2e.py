@@ -16,7 +16,7 @@ from emg_tpu.config import Config
 from emg_tpu.data import make_normalizers, make_synthetic_corpus
 from emg_tpu.decode.ngram import write_fixture_arpa
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.nightly]
 
 
 def _tiny_cfg(root, data_axis, model_axis):

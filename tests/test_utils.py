@@ -122,6 +122,7 @@ def test_convert_reference_checkpoint_loads_into_model():
     )
 
 
+@pytest.mark.slow
 def test_size_aware_sampler(tmp_path):
     from emg_tpu.data.fixtures import make_synthetic_corpus
     from emg_tpu.data.sampler import SizeAwareSampler
