@@ -183,3 +183,80 @@ def make_synthetic_corpus(
         "vocabulary": os.path.join(desc, "vocabulary"),
         "root": root,
     }
+
+
+def make_reference_scale_corpus(
+    root: str,
+    seed: int = 0,
+    n_sessions: int = 8,
+    sentences_per_session: int = 500,
+    n_dev: int = 200,
+    n_test: int = 100,
+    n_nonparallel: int = 355,
+    min_len: int = 1400,
+    max_len: int = 4200,
+) -> Dict[str, str]:
+    """The full-scale dress-rehearsal corpus: the reference's 8,055-train /
+    200-dev / 100-test geometry (reference output/log.txt:1 'train / dev
+    split: 8055 200') in the real session-directory layout.
+
+    Default shape: 8 silent sessions x 500 sentences (300 of the sentence
+    indices reserved for dev+test — each appears in ONE silent session) +
+    8 parallel voiced sessions x 500 + one 355-utterance nonparallel voiced
+    session. Voiced sessions are excluded from dev/test membership (the
+    reference's exclude_from_testset rule), so
+    train = (4000 - 300) silent + 4000 voiced + 355 nonparallel = 8055.
+    """
+    rng = np.random.default_rng(seed)
+    book = "books/synthetic.txt"
+    total = n_sessions * sentences_per_session
+
+    silent_root = os.path.join(root, "silent_parallel_data")
+    voiced_root = os.path.join(root, "voiced_parallel_data")
+    nonpar_root = os.path.join(root, "nonparallel_data")
+    for s in range(n_sessions):
+        sents = [
+            FIXTURE_SENTENCES[(s * sentences_per_session + i) % len(FIXTURE_SENTENCES)]
+            for i in range(sentences_per_session)
+        ]
+        off = s * sentences_per_session
+        make_session(os.path.join(voiced_root, f"sess{s:03d}v"), sents, book,
+                     rng, voiced=True, min_len=min_len, max_len=max_len,
+                     sentence_offset=off)
+        make_session(os.path.join(silent_root, f"sess{s:03d}s"), sents, book,
+                     rng, voiced=False, min_len=min_len, max_len=max_len,
+                     sentence_offset=off)
+    extra = [FIXTURE_SENTENCES[i % len(FIXTURE_SENTENCES)]
+             for i in range(n_nonparallel)]
+    make_session(os.path.join(nonpar_root, "sess_np"), extra, book, rng,
+                 voiced=True, min_len=min_len, max_len=max_len,
+                 sentence_offset=total)
+
+    desc = os.path.join(root, "descriptions")
+    os.makedirs(desc, exist_ok=True)
+    with open(os.path.join(desc, "phonesSet"), "w") as f:
+        f.write(PHONES_LINE + "\n")
+    with open(os.path.join(desc, "lexicon.txt"), "w") as f:
+        for w, p in FIXTURE_LEXICON.items():
+            f.write(f"{w}\t{p}\n")
+    with open(os.path.join(desc, "vocabulary"), "w") as f:
+        f.write(" ".join(FIXTURE_LEXICON.keys()) + "\n")
+
+    held = rng.choice(total, size=n_dev + n_test, replace=False)
+    testset = {
+        "dev": [[book, int(i)] for i in held[:n_dev]],
+        "test": [[book, int(i)] for i in held[n_dev:]],
+    }
+    testset_file = os.path.join(root, "testset.json")
+    with open(testset_file, "w") as f:
+        json.dump(testset, f)
+
+    return {
+        "silent_data_directories": silent_root,
+        "voiced_data_directories": f"{voiced_root},{nonpar_root}",
+        "testset_file": testset_file,
+        "dict": os.path.join(desc, "lexicon.txt"),
+        "phonesSet": os.path.join(desc, "phonesSet"),
+        "vocabulary": os.path.join(desc, "vocabulary"),
+        "root": root,
+    }
