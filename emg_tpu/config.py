@@ -85,6 +85,12 @@ class DataConfig:
     # unboundedly — multi-GB at the 8,055-utterance corpus). 0 disables
     # caching entirely.
     cache_bytes: int = 2 << 30
+    # per-utterance DSP execution path: "auto" runs the fused device
+    # pipeline on accelerators and scipy on CPU-only backends (XLA:CPU
+    # executes the zero-phase IIR scan in seconds per utterance — measured
+    # 2.4 s at the 8192-sample bucket); "device"/"scipy" force a path. The
+    # two paths agree to the tests' scipy-oracle tolerance.
+    dsp_backend: str = "auto"
 
 
 @dataclass

@@ -154,10 +154,29 @@ class EMGDataset:
         self._cache: "OrderedDict[int, dict]" = OrderedDict()
         self._cache_bytes = 0
         self._cache_budget = int(dcfg.cache_bytes)
+        self._host_dsp = None  # resolved lazily by _use_host_dsp()
 
         sample = self.load_utterance(*self.example_indices[0])
         self.num_speech_features = sample[0].shape[1]
         self.num_features = sample[1].shape[1]
+
+    def _use_host_dsp(self) -> bool:
+        """Choose the per-utterance DSP path (DataConfig.dsp_backend)."""
+        if self._host_dsp is None:
+            mode = getattr(self.config.data, "dsp_backend", "auto")
+            from emg_tpu.dsp.host_dsp import HAVE_SCIPY
+
+            if mode == "scipy":
+                if not HAVE_SCIPY:
+                    raise RuntimeError("dsp_backend='scipy' but scipy is unavailable")
+                self._host_dsp = True
+            elif mode == "device":
+                self._host_dsp = False
+            else:  # auto: scipy when only CPU devices exist
+                import jax
+
+                self._host_dsp = HAVE_SCIPY and jax.default_backend() == "cpu"
+        return self._host_dsp
 
     # -- per-utterance loading ---------------------------------------------
     def load_utterance(self, directory_info_or_dir, index: int, limit_length: bool = False):
@@ -179,19 +198,28 @@ class EMGDataset:
             else np.zeros([0, raw_emg.shape[1]])
         )
 
-        # device DSP over a bucketed fixed-size buffer (one compile/bucket)
-        n_total = before.shape[0] + raw_emg.shape[0] + after.shape[0]
-        T = _dsp_bucket(n_total)
-        buf = np.zeros((T, raw_emg.shape[1]), np.float32)
-        buf[: before.shape[0]] = before
-        buf[before.shape[0] : before.shape[0] + raw_emg.shape[0]] = raw_emg
-        buf[before.shape[0] + raw_emg.shape[0] : n_total] = after
-        out = preprocess_emg(
-            buf, n_total, before.shape[0], after.shape[0],
-            tuple(int(c) for c in self.config.data.remove_channels),
-        )
-        n_frames = int(out.n_frames)
-        emg_features = np.asarray(out.emg_features)[:n_frames]
+        rm = tuple(int(c) for c in self.config.data.remove_channels)
+        use_host = self._use_host_dsp()
+        if use_host:
+            # scipy path: the device program's IIR scan is seconds-per-
+            # utterance on XLA:CPU (see dsp/host_dsp.py); scipy is ~10 ms
+            # and is the oracle the device kernels are tested against
+            from emg_tpu.dsp.host_dsp import preprocess_emg_scipy
+
+            emg_features, emg_full, emg_orig_full = preprocess_emg_scipy(
+                raw_emg, before, after, rm
+            )
+        else:
+            # device DSP over a bucketed fixed-size buffer (one compile/bucket)
+            n_total = before.shape[0] + raw_emg.shape[0] + after.shape[0]
+            T = _dsp_bucket(n_total)
+            buf = np.zeros((T, raw_emg.shape[1]), np.float32)
+            buf[: before.shape[0]] = before
+            buf[before.shape[0] : before.shape[0] + raw_emg.shape[0]] = raw_emg
+            buf[before.shape[0] + raw_emg.shape[0] : n_total] = after
+            out = preprocess_emg(buf, n_total, before.shape[0], after.shape[0], rm)
+            n_frames = int(out.n_frames)
+            emg_features = np.asarray(out.emg_features)[:n_frames]
 
         mfccs = load_audio(
             _audio_path(base_dir, index),
@@ -203,8 +231,12 @@ class EMGDataset:
         assert emg_features.shape[0] == mfccs.shape[0], "EMG/audio frame misalignment"
         F = emg_features.shape[0]
         (e0, elen), (r0, rlen) = align_lengths(F)
-        emg = np.asarray(out.emg)[e0 : e0 + elen]
-        emg_orig = np.asarray(out.emg_orig)[r0 : r0 + rlen]
+        if use_host:
+            emg = emg_full[e0 : e0 + elen]
+            emg_orig = emg_orig_full[r0 : r0 + rlen]
+        else:
+            emg = np.asarray(out.emg)[e0 : e0 + elen]
+            emg_orig = np.asarray(out.emg_orig)[r0 : r0 + rlen]
         assert emg.shape[0] == F * 6
 
         with open(os.path.join(base_dir, f"{index}_info.json")) as f:

@@ -14,9 +14,7 @@ from typing import Optional, Tuple
 import numpy as np
 import scipy.signal
 
-import jax.numpy as jnp
-
-from emg_tpu.dsp.mel import mel_spectrogram
+from emg_tpu.dsp.mel import mel_spectrogram_np
 
 try:  # optional dependency — present in full deployments, absent in CI
     import soundfile as _sf
@@ -87,9 +85,9 @@ def load_audio(
     else:
         assert r == 22050, f"unexpected sample rate {r}"
     audio = np.clip(audio, -1, 1)
-    mspec = np.asarray(
-        mel_spectrogram(jnp.asarray(audio, jnp.float32), 1024, 80, 22050, 256, 1024, 0, 8000)
-    )
+    # numpy path: per-file lengths are unique, so the jnp version would
+    # recompile its eager ops for every utterance on the CPU backend
+    mspec = mel_spectrogram_np(audio.astype(np.float32), 1024, 80, 22050, 256, 1024, 0, 8000)
     if max_frames is not None and mspec.shape[0] > max_frames:
         mspec = mspec[:max_frames, :]
     return mspec

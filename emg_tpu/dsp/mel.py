@@ -92,6 +92,34 @@ def mel_spectrogram(
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 
+def mel_spectrogram_np(
+    y: np.ndarray,
+    n_fft: int = 1024,
+    num_mels: int = 80,
+    sampling_rate: int = 22050,
+    hop_size: int = 256,
+    win_size: int = 1024,
+    fmin: float = 0.0,
+    fmax: float = 8000.0,
+) -> np.ndarray:
+    """Numpy twin of mel_spectrogram for host-side loading.
+
+    Per-utterance audio lengths are all distinct, so the jnp version
+    re-compiles its eager ops for every file on the CPU backend; the host
+    loader (audio_io.load_audio) uses this instead.
+    """
+    pad = (n_fft - hop_size) // 2
+    y = np.concatenate([y[1 : pad + 1][::-1], y, y[-pad - 1 : -1][::-1]])
+    num_frames = 1 + (y.shape[0] - n_fft) // hop_size
+    starts = np.arange(num_frames) * hop_size
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
+    frames = y[idx] * _hann_periodic(win_size)
+    spec = np.fft.rfft(frames, n=n_fft, axis=1)
+    mag = np.sqrt(np.real(spec) ** 2 + np.imag(spec) ** 2 + 1e-9)
+    mel = mag @ mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax).T
+    return np.log(np.clip(mel, 1e-5, None)).astype(np.float32)
+
+
 def mel_frame_count(n_samples: int, n_fft: int = 1024, hop_size: int = 256) -> int:
     padded = n_samples + 2 * ((n_fft - hop_size) // 2)
     return 1 + (padded - n_fft) // hop_size

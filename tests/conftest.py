@@ -21,3 +21,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent compilation cache: the suite's wall time is dominated by
+# repeated XLA CPU compiles (DSP buckets, train windows, search programs);
+# cached executables make every run after the first start warm
+from emg_tpu.runtime import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()

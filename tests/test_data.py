@@ -187,3 +187,29 @@ def test_make_packed_batch():
     assert pb.targets.shape[1] == 16  # bucketed target length
     assert pb.targets[0, 5] == 42  # PAD fill
     assert int(pb.n_examples) == 2
+
+
+@pytest.mark.slow
+def test_host_and_device_dsp_paths_agree(corpus):
+    """DataConfig.dsp_backend: the scipy host path (auto-selected on CPU
+    backends) and the fused device pipeline produce the same utterance, to
+    the same tolerance the DSP kernels are oracle-tested at (test_dsp.py).
+    Guards the dataset-level wiring of dsp/host_dsp.py."""
+    cfg, _ = corpus
+    ds = EMGDataset(cfg)
+    directory_info, idx = ds.example_indices[0]
+
+    cfg.data.dsp_backend = "scipy"
+    ds._host_dsp = None
+    host = ds.load_utterance(directory_info, idx)
+    cfg.data.dsp_backend = "device"
+    ds._host_dsp = None
+    dev = ds.load_utterance(directory_info, idx)
+    cfg.data.dsp_backend = "auto"
+    ds._host_dsp = None
+
+    for h, d in zip(host, dev):
+        if isinstance(h, np.ndarray) and h.dtype.kind == "f":
+            assert h.shape == d.shape
+            scale = max(1.0, float(np.abs(h).max()))
+            np.testing.assert_allclose(h, d, atol=5e-3 * scale, rtol=5e-2)
