@@ -38,11 +38,10 @@ class StubDecoderSearcher(DeviceBeamSearcher):
     def _step_fn(self):
         body = super()._step_fn()
         W = self.W
-        const_lp = jnp.tile(
-            jax.nn.log_softmax(
-                (jnp.arange(41, dtype=jnp.float32) % 7.0) * 0.3
-            )[None],
-            (W, 1),
+        # decode_step returns the full 43-logit head; the searcher drops
+        # <S>/<PAD> and log-softmaxes afterward (device_beam.py:196)
+        const_logits = jnp.tile(
+            ((jnp.arange(43, dtype=jnp.float32) % 7.0) * 0.3)[None], (W, 1)
         )
 
         # intercept the decoder at trace time: the real body's decode_lp
@@ -55,7 +54,7 @@ class StubDecoderSearcher(DeviceBeamSearcher):
         def fake_apply(variables, *args, method=None, **kw):
             if method is not None and getattr(method, "__name__", "") == "decode_step":
                 caches = args[2]
-                return const_lp.astype(jnp.float32), caches
+                return const_logits.astype(jnp.float32), caches
             return real_apply(variables, *args, method=method, **kw)
 
         def body_stub(variables, sctx, carry):

@@ -80,3 +80,48 @@ def test_scheduled_sampling_step_descends():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_scheduled_sampling_changes_decoder_inputs_at_window_level():
+    """VERDICT r4 item 10: prove the scheduled-sampling recipe actually
+    alters decoder inputs inside a fused accumulation WINDOW, and that its
+    microbatch-count ramp gates it: at microbatch 0 the mix probability is
+    exactly 0 (ss-on and ss-off losses are bit-identical), while at later
+    microbatches in the same window the mixed decoder inputs change the
+    loss."""
+    from emg_tpu.parallel.train_step import make_train_window
+
+    model = tiny_model()
+    batch = toy_batch()
+    base = dict(batch_size_grad=100, learning_rate=1e-3,
+                learning_rate_warmup=5)
+    cfg_off = TrainConfig(**base)
+    cfg_on = TrainConfig(
+        **base, scheduled_sampling_max_prob=1.0, scheduled_sampling_ramp=1,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch.packed_raw, batch.n_rows, batch.offsets, batch.lengths,
+        batch.targets[:, :-1], 16, False,
+    )
+    rng = jax.random.PRNGKey(7)
+    batches = tuple([batch] * 3)
+
+    losses = {}
+    for name, cfg in (("off", cfg_off), ("on", cfg_on)):
+        # fresh copies: the window program donates its state buffers
+        state = create_train_state(
+            jax.tree.map(jnp.array, variables["params"]),
+            jax.tree.map(jnp.array, variables["batch_stats"]), cfg)
+        window = make_train_window(model, cfg, [16, 16, 16])
+        _, metrics = window(state, batches, rng)
+        losses[name] = [float(m["loss"]) for m in metrics]
+
+    # microbatch 0: ramp gives prob 0 -> identical loss
+    assert losses["on"][0] == losses["off"][0]
+    # microbatches 1..2: prob 1.0 -> model predictions replace teacher
+    # inputs; at an untrained model these differ from the targets, so the
+    # decoder loss must move
+    assert losses["on"][1] != losses["off"][1]
+    assert losses["on"][2] != losses["off"][2]
+    assert np.isfinite(losses["on"]).all()
