@@ -554,7 +554,10 @@ def measure_train_accum(frames8, host_staged=False):
 
         from emg_tpu.data.batching import quantize_packed_raw
 
-        n_up = max(1, TrainConfig().stage_threads)
+        # sweepable via env for staging experiments (defaults to the
+        # Trainer's TrainConfig.stage_threads)
+        n_up = max(1, int(os.environ.get(
+            "EMG_TPU_STAGE_THREADS", TrainConfig().stage_threads)))
         use_int16 = TrainConfig().stage_int16
         host_batches = [
             (quantize_packed_raw(b) if use_int16 else b) for b, _, _ in batches
