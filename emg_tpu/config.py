@@ -135,7 +135,13 @@ class TrainConfig:
     # The sampler is deterministic per (seed, epoch), so window
     # composition is known ahead of time. Windows also break at
     # report_loss boundaries so the reporting cadence is unchanged.
-    fused_window: bool = True
+    # None = auto: windows on for accelerator backends (they amortize the
+    # per-launch dispatch latency that dominates tunnel-attached TPUs) and
+    # OFF on CPU-only backends, where dispatch is cheap and every distinct
+    # window signature would pay a slow XLA:CPU compile (measured: the
+    # reference-scale CPU drill spent ~18 s/microbatch compiling window
+    # signatures; per-microbatch steps compile one program per bucket).
+    fused_window: "bool | None" = None
     # distinct window signatures (sequence of microbatch bucket shapes)
     # compiled before new compositions fall back to per-microbatch
     # launches — bounds compile time on long runs with reshuffled epochs
@@ -276,7 +282,7 @@ class Config:
         if not hasattr(obj, name):
             raise KeyError(f"unknown config key: {dotted}")
         current = getattr(obj, name)
-        if current is not None and not isinstance(value, type(current)):
+        if current is None or not isinstance(value, type(current)):
             value = _coerce(value, current)
         setattr(obj, name, value)
 
@@ -333,6 +339,16 @@ class Config:
 
 
 def _coerce(value: Any, template: Any):
+    if template is None and isinstance(value, str):
+        # tri-state flags (e.g. train.fused_window None=auto)
+        low = value.lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        if low in ("none", "auto"):
+            return None
+        return value
     if isinstance(template, bool):
         if isinstance(value, str):
             return value.lower() in ("1", "true", "yes", "on")

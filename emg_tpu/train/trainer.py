@@ -130,6 +130,16 @@ class Trainer:
             )
         return self._train_steps[max_frames]
 
+    def _fused_window_enabled(self) -> bool:
+        """Resolve TrainConfig.fused_window's None=auto: windows amortize
+        per-launch dispatch on accelerator attachments; on CPU-only
+        backends dispatch is cheap and each distinct window signature
+        would pay a slow XLA:CPU compile, so auto turns them off."""
+        fw = self.config.train.fused_window
+        if fw is None:
+            return jax.default_backend() != "cpu"
+        return bool(fw)
+
     def _window_for(self, max_frames_seq):
         """The fused-window program for this bucket sequence, or None once
         the signature cache is full (new compositions then run through the
@@ -409,11 +419,12 @@ class Trainer:
             # per-microbatch path (the window inlines the same step bodies
             # in order), minus the per-launch dispatch latency. Window
             # boundaries are planned ahead from the deterministic sampler.
+            use_windows = self._fused_window_enabled()
             windows = (
                 self._plan_windows(
                     epoch_batches, int(state.accum_examples), cfg
                 )
-                if cfg.fused_window
+                if use_windows
                 else [1] * len(epoch_batches)
             )
             gen = self._prefetch(self.trainset, epoch_batches)
@@ -422,7 +433,7 @@ class Trainer:
                 group = [next(gen) for _ in range(wlen)]
                 window_fn = (
                     self._window_for(tuple(mf for _, mf in group))
-                    if cfg.fused_window and wlen > 1 else None
+                    if use_windows and wlen > 1 else None
                 )
                 if window_fn is not None:
                     state, ms = window_fn(

@@ -353,3 +353,29 @@ def test_int16_staging(setup):
     state_f, m_f = step(state_f, batch, rng)
     state_q, m_q = step(state_q, q, rng)
     assert float(m_q["loss"]) == pytest.approx(float(m_f["loss"]), rel=1e-3)
+
+
+def test_fused_window_auto_resolution():
+    """TrainConfig.fused_window None=auto: off on CPU-only backends (each
+    distinct window signature pays a slow XLA:CPU compile — the
+    reference-scale drill measured ~18 s/microbatch), on for accelerator
+    attachments; explicit True/False always wins. Also covers the CLI
+    tri-state coercion."""
+    from emg_tpu.config import Config, _coerce
+    from emg_tpu.train.trainer import Trainer
+
+    t = Trainer.__new__(Trainer)
+    t.config = Config()
+    assert t.config.train.fused_window is None
+    assert t._fused_window_enabled() is False  # tests force JAX_PLATFORMS=cpu
+    t.config.train.fused_window = True
+    assert t._fused_window_enabled() is True
+    t.config.train.fused_window = False
+    assert t._fused_window_enabled() is False
+
+    assert _coerce("true", None) is True
+    assert _coerce("off", None) is False
+    assert _coerce("auto", None) is None
+
+    cfg = Config.from_args(["--train.fused_window", "false"])
+    assert cfg.train.fused_window is False
