@@ -177,15 +177,6 @@ def build_greedy_pipeline():
     src_idx = jnp.asarray(geo["src_idx"])
     valid = jnp.asarray(geo["valid"])[:, None]
 
-    # fused Pallas token step for the greedy loop on TPU (probed; None ->
-    # XLA decode_step). Built OUTSIDE the jitted e2e: weight re-layout is
-    # loop-invariant
-    from emg_tpu.ops.pallas.fused_decode_step import maybe_fused_decoder
-
-    fused = (maybe_fused_decoder(cfg, variables, N_UTTS, MAX_STEPS + 1,
-                                 T=serve_frames, rows=True)
-             if DecodeConfig().fused_step else None)
-
     @jax.jit
     def e2e(variables, raw_bufs, raw_ns, batch):
         out = preprocess_emg_batched(
@@ -200,7 +191,7 @@ def build_greedy_pipeline():
             target_lengths=batch.target_lengths, n_examples=batch.n_examples,
         )
         dec, _ = greedy_decode_cached(model, variables, b, serve_frames,
-                                      MAX_STEPS, fused=fused)
+                                      MAX_STEPS)
         return dec
 
     raw_bufs_d = jnp.asarray(raw_bufs)

@@ -96,43 +96,13 @@ def evaluate_saved_greedy_search(cfg: Config):
     )
     references, predictions = [], []
     running_total = running_correct = 0
-    fused, fused_off = None, not cfg.decode.fused_step
-    probed_shapes = set()
     for i in range(len(testset)):
         pb, max_frames, raw = _prepare_single(cfg, testset, i)
-        # cross-memory length == max_frames (model.encode re-batches the
-        # post-CNN stream to exactly max_frames frames)
-        shape = (pb.targets.shape[1], max_frames)
-        if not fused_off and shape not in probed_shapes:
-            # fused Pallas token step on TPU (ops/pallas/fused_decode_step);
-            # every NEW (S, T) bucket geometry is compile-probed before its
-            # first launch so a Mosaic rejection at any shape falls back to
-            # the XLA decode_step instead of raising mid-eval. The first
-            # probe also executes the fused-vs-XLA parity gate (model=).
-            from emg_tpu.ops.pallas.fused_decode_step import maybe_fused_decoder
-
-            if not probed_shapes:
-                fused = maybe_fused_decoder(
-                    model.cfg, variables, 1, shape[0], T=shape[1],
-                    rows=True, model=model,
-                )
-                fused_off = fused is None
-            else:
-                try:
-                    fused.probe(1, shape[0], shape[1], rows=True)
-                except Exception as e:
-                    log.warning(
-                        "fused decode-step rejected at shape %s (%s); "
-                        "falling back to the XLA decode_step",
-                        shape, type(e).__name__,
-                    )
-                    fused, fused_off = None, True
-            probed_shapes.add(shape)
         S_true = int(raw["phonemes_int_lengths"][0])
         target_len = S_true - 1
         strings, matrix = run_greedy(
             model, variables, pb, max_frames, target_len,
-            pb.targets.shape[1] - 1, fused=fused,
+            pb.targets.shape[1] - 1,
         )
         y = np.full((1, S_true), 42, np.int64)
         y[0, : S_true] = raw["phonemes_int"][0]

@@ -206,15 +206,12 @@ class DecodeConfig:
     # (flagship-geometry bf16-vs-f32 agreement through the converter).
     # "float32" restores reference-exact serving numerics.
     compute_dtype: str = "bfloat16"
-    # run the decoder token step through the fused Pallas kernels
-    # (ops/pallas/fused_decode_step.py: 3 kernels/layer instead of ~460
-    # XLA micro-fusions/step); parity pinned by tests/test_fused_decode.py
-    # and by the executed on-device gate in maybe_fused_decoder. Verified
-    # on v5e silicon 2026-08-18 (compiles, token-identical), but MEASURED
-    # SLOWER than the XLA step there (beam p50 103.9 vs 82.5 ms at W=100;
-    # benchmarks/fused_beam_check.py), so it defaults off; flip on for
-    # dispatch-profiles where kernel-count dominates.
-    fused_step: bool = False
+    # NOTE (r5): the fused Pallas decoder token-step kernels were RETIRED
+    # after marginal-timing measurements showed the XLA decode_step runs at
+    # HBM speed of light for its ~100 MB weight stream (0.20 ms/step at
+    # W=100) while the fused step measured 0.52 ms and every individual
+    # fused block lost to its XLA equivalent (self 26.5 vs 7.3 us, ffn
+    # 12.1 vs 4.0 us) — see VALIDATION.md round 5.
     # int8 weights for the cache-resident decode stack (utils/quantize.py):
     # per-channel int8 storage halves the decoder's per-step weight reads
     # (measured 113.4 -> 57.3 MB). Token parity pinned by

@@ -96,26 +96,6 @@ class DeviceBeamSearcher:
         self._search_fn_raw = None
         self._vsearch_fn = None
 
-        self._fused = None
-        # fused Pallas token step; composes with --decode.quantize_int8
-        # (Int8Tensor weights dequantize IN-KERNEL, so HBM moves int8).
-        # The probe also covers the vmapped form (search_many / continuous
-        # server lanes run the step under vmap, which prepends a grid dim)
-        if cfg.fused_step:
-            from emg_tpu.ops.pallas.fused_decode_step import maybe_fused_decoder
-
-            # probe at the REAL serve-time cross-memory length (model.encode
-            # returns memory of length max_frames: ``lengths`` are already
-            # post-CNN frame counts) — probing a smaller default T would
-            # let a Mosaic rejection at the real shape bypass the
-            # documented XLA fallback and raise at the first decode launch
-            # instead. model= adds the executed fused-vs-XLA parity gate
-            # (compiled-Mosaic numerics).
-            self._fused = maybe_fused_decoder(
-                model.cfg, self.variables, W, self.S,
-                T=self.max_frames, vmapped=True, model=model,
-            )
-
     # ------------------------------------------------------------------
     def _make_ctx(self, variables, batch: PackedBatch, max_len):
         """Per-utterance search context: encoder memory projected into each
@@ -149,12 +129,7 @@ class DeviceBeamSearcher:
         fin_hist0 = jnp.full((F, S), 42, jnp.int32)
         fin_words0 = jnp.full((F, MW), -1, jnp.int32)
         fin_wc0 = jnp.zeros((F,), jnp.int32)
-        if self._fused is not None:
-            # the fused kernels own transposed cache layouts (see
-            # ops/pallas/fused_decode_step.py module docstring)
-            caches0 = self._fused.init_cache(W, S)
-        else:
-            caches0 = self.model.init_decode_cache(W, S)
+        caches0 = self.model.init_decode_cache(W, S)
         return (jnp.int32(0), hist0, cum0, node0, alive0, ctx0, runlm0,
                 chars0, wc0, words0, fin_scores0, fin_hist0, fin_words0,
                 fin_wc0, caches0)
@@ -183,16 +158,10 @@ class DeviceBeamSearcher:
                 token_in = jax.lax.dynamic_index_in_dim(
                     tokens, t, axis=1, keepdims=False
                 )
-                if self._fused is not None:
-                    logits, caches = self._fused.step(
-                        token_in, t, caches, sctx["cross_kvs"], tokens,
-                        sctx["src_mask"],
-                    )
-                else:
-                    logits, caches = model.apply(
-                        variables, token_in, t, caches, sctx["cross_kvs"],
-                        tokens, sctx["src_mask"], method=model.decode_step,
-                    )
+                logits, caches = model.apply(
+                    variables, token_in, t, caches, sctx["cross_kvs"],
+                    tokens, sctx["src_mask"], method=model.decode_step,
+                )
                 return jax.nn.log_softmax(logits[:, :-2], axis=-1), caches
 
             (t, hist, cum, node, alive, ctx, runlm, chars, wc, words,
@@ -302,10 +271,7 @@ class DeviceBeamSearcher:
             # Caches are layer-stacked (L, W, H, S, Dh), so this is two
             # gathers along axis 1 rather than 2*L per-layer gathers.
             cache_sel = hsel % W
-            if self._fused is not None:
-                caches = self._fused.select_rows(caches, cache_sel)
-            else:
-                caches = jax.tree.map(lambda c: c[:, cache_sel], caches)
+            caches = jax.tree.map(lambda c: c[:, cache_sel], caches)
 
             return (t + 1, hist, cum, node, alive, ctx, runlm, chars, wc,
                     words, fin_scores, fin_hist, fin_words, fin_wc, caches)

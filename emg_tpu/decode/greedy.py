@@ -93,18 +93,15 @@ def greedy_decode_cached(
     max_frames: int,
     max_steps: int,
     num_steps=None,
-    fused=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KV-cached greedy decode: identical outputs to ``greedy_decode`` at
     O(S) decoder cost per step instead of O(S^2) — the serving-path upgrade
     over the reference's full-prefix re-run (greedy_search.py:21, SURVEY.md
-    §3.2 'no KV cache').
-
-    ``fused``: an optional ops.pallas.fused_decode_step.FusedDecoder (built
-    for the SAME variables, e.g. via maybe_fused_decoder with rows=True) —
-    the token step then runs as fused Pallas kernels over per-row memory
-    instead of the XLA decode_step's op soup. Construct it OUTSIDE any jit
-    around this function (its weight re-layout is loop-invariant)."""
+    §3.2 'no KV cache'). The XLA decode_step measured at HBM speed of light
+    for its ~100 MB weight stream (0.20 ms/step at W=100, r5 marginal-timing
+    probe), so there is no Pallas variant of this loop — the r3/r4 fused
+    token-step kernels lost 2.6x to XLA and were retired (VALIDATION.md
+    round 5)."""
     S = max_steps + 1
     if num_steps is None:
         num_steps = max_steps
@@ -118,12 +115,7 @@ def greedy_decode_cached(
     )
     B = memory.shape[0]
     cross_kvs = model.apply(variables, memory, method=model.project_cross_kvs)
-    if fused is not None:
-        cross_rows = fused.prepare_cross_rows(cross_kvs)
-        mpadT = src_pad_mask.T  # loop-invariant (T, B)
-        caches = fused.init_cache(B, S)
-    else:
-        caches = model.init_decode_cache(B, S)
+    caches = model.init_decode_cache(B, S)
 
     tokens0 = jnp.full((B, S), PAD_ID, jnp.int32).at[:, 0].set(START_ID)
     ended0 = jnp.zeros((B,), bool)
@@ -135,15 +127,10 @@ def greedy_decode_cached(
     def body(carry):
         tokens, ended, s, caches = carry
         token_in = jax.lax.dynamic_index_in_dim(tokens, s - 1, axis=1, keepdims=False)
-        if fused is not None:
-            logits, caches = fused.step_rows(
-                token_in, s - 1, caches, cross_rows, tokens, mpadT
-            )
-        else:
-            logits, caches = model.apply(
-                variables, token_in, s - 1, caches, cross_kvs, tokens,
-                src_pad_mask, method=model.decode_step,
-            )
+        logits, caches = model.apply(
+            variables, token_in, s - 1, caches, cross_kvs, tokens,
+            src_pad_mask, method=model.decode_step,
+        )
         predicted = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tokens = jnp.where(jnp.arange(S)[None, :] == s, predicted[:, None], tokens)
         ended = ended | (predicted == END_ID)
@@ -172,14 +159,14 @@ def matrix_to_phone_strings(matrix: np.ndarray) -> List[str]:
 
 def run_greedy(model, variables, batch: PackedBatch, max_frames: int,
                target_len: int, static_cap: Optional[int] = None,
-               use_cache: bool = True, fused=None) -> Tuple[List[str], np.ndarray]:
+               use_cache: bool = True) -> Tuple[List[str], np.ndarray]:
     """Host wrapper mirroring the reference signature: returns
     (phone strings, accuracy matrix cut to target_len+1 columns).
     ``target_len`` is tgt.shape[1] (the padded target length minus <S>)."""
     cap = static_cap if static_cap is not None else target_len
     if use_cache:
         out, _ = greedy_decode_cached(model, variables, batch, max_frames,
-                                      cap, num_steps=target_len, fused=fused)
+                                      cap, num_steps=target_len)
     else:
         out, _ = greedy_decode(model, variables, batch, max_frames, cap,
                                num_steps=target_len)
