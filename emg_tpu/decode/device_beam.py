@@ -46,6 +46,7 @@ class DeviceBeamSearcher:
     SLOT_FIN_WORDS = 12
     SLOT_FIN_WC = 13
     SLOT_CACHES = 14
+    SLOT_PSEL = 15  # deferred cache row-reorder selector (applied next step)
     FINISHED_SLOTS = slice(SLOT_FIN_SCORES, SLOT_FIN_WC + 1)
 
     def __init__(self, model, variables, tree: CompiledTree, device_lm: DeviceLM,
@@ -130,9 +131,10 @@ class DeviceBeamSearcher:
         fin_words0 = jnp.full((F, MW), -1, jnp.int32)
         fin_wc0 = jnp.zeros((F,), jnp.int32)
         caches0 = self.model.init_decode_cache(W, S)
+        psel0 = jnp.arange(W, dtype=jnp.int32)  # deferred cache row-reorder
         return (jnp.int32(0), hist0, cum0, node0, alive0, ctx0, runlm0,
                 chars0, wc0, words0, fin_scores0, fin_hist0, fin_words0,
-                fin_wc0, caches0)
+                fin_wc0, caches0, psel0)
 
     def _carry_done(self, sctx, carry):
         """True once this search can make no further progress."""
@@ -165,7 +167,25 @@ class DeviceBeamSearcher:
                 return jax.nn.log_softmax(logits[:, :-2], axis=-1), caches
 
             (t, hist, cum, node, alive, ctx, runlm, chars, wc, words,
-             fin_scores, fin_hist, fin_words, fin_wc, caches) = carry
+             fin_scores, fin_hist, fin_words, fin_wc, caches, psel) = carry
+
+            # apply the PREVIOUS step's beam reorder to the K/V caches as a
+            # one-hot matmul on the row axis. Measured (r5 probes, W=100,
+            # S=33, T=384): the plain gather costs ~0.55 ms/step in loop
+            # context (the while-carry loses in-place updates once a gather
+            # intervenes) while the MXU selector matmul brings decode+
+            # reorder to 0.356 ms/step — and it is EXACT: each output row
+            # sums exactly one 1.0*k product, accumulated in float32.
+            k0 = jax.tree.leaves(caches)[0]
+            P = jax.nn.one_hot(psel, W, dtype=k0.dtype)  # (W, W)
+
+            def _perm(c):
+                flat = c.reshape(c.shape[0], W, -1)
+                out = jnp.einsum("bj,ljf->lbf", P, flat,
+                                 precision=jax.lax.Precision.HIGHEST)
+                return out.reshape(c.shape)
+
+            caches = jax.tree.map(_perm, caches)
 
             step_lp_w, caches = decode_lp(hist[:W], t, caches)  # (W, 41)
             step_lp = step_lp_w[parent]  # (H, 41)
@@ -267,14 +287,15 @@ class DeviceBeamSearcher:
 
             # re-align the K/V caches with the reordered decode rows:
             # the selected hypothesis hsel's prefix K/V live in cache row
-            # hsel % W (expansion rows shared their parent's history).
-            # Caches are layer-stacked (L, W, H, S, Dh), so this is two
-            # gathers along axis 1 rather than 2*L per-layer gathers.
+            # hsel % W (expansion rows shared their parent's history). The
+            # physical reorder is DEFERRED to the start of the next step
+            # (one-hot matmul above) — carrying the selector costs W int32s
+            # instead of a second full-cache pass.
             cache_sel = hsel % W
-            caches = jax.tree.map(lambda c: c[:, cache_sel], caches)
 
             return (t + 1, hist, cum, node, alive, ctx, runlm, chars, wc,
-                    words, fin_scores, fin_hist, fin_words, fin_wc, caches)
+                    words, fin_scores, fin_hist, fin_words, fin_wc, caches,
+                    cache_sel)
 
         return body
 
