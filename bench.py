@@ -579,23 +579,16 @@ def measure_train_accum(frames8, host_staged=False):
             while sum(q.qsize() for q in qs) < len(batches):
                 time.sleep(0.001)
             t0 = time.time()
-            leftovers = []  # next-iteration items pulled early
+            # each thread's queue yields its slots in deterministic order
+            # (j = k, k+n, ... per iteration), so a blocking get per slot
+            # reassembles the window without cross-iteration ambiguity
             for _ in range(iters):
                 staged = [None] * len(batches)
-                got = 0
-                for j, b in leftovers:
-                    staged[j], got = b, got + 1
-                leftovers = []
-                while got < len(batches):
-                    for k in range(n_up):
-                        try:
-                            j, b = qs[k].get_nowait()
-                        except _queue.Empty:
-                            continue
-                        if staged[j] is None:
-                            staged[j], got = b, got + 1
-                        else:  # same slot from the NEXT iteration
-                            leftovers.append((j, b))
+                for k in range(n_up):
+                    for j in range(k, len(batches), n_up):
+                        jj, b = qs[k].get()
+                        assert jj == j
+                        staged[j] = b
                 state = one_window_q(state, tuple(staged))
             _sync(state.params)
             best_dt = min(best_dt, time.time() - t0)

@@ -156,10 +156,13 @@ class TrainConfig:
     # scale. Training numerics move at the BN-stat 1e-5 level (pinned by
     # tests). false restores float32 staging.
     stage_int16: bool = True
-    # host->device upload threads in the prefetch stage: >1 keeps several
-    # transfers in flight when per-transfer latency (not bandwidth) limits
-    # staging — the relay-attached regime
-    stage_threads: int = 2
+    # host->device upload threads in the prefetch stage. Measured on the
+    # relay-attached chip (r5 sweep): 1 thread 38.2% host-staged MFU,
+    # 2 threads 34.4% — with int16 staging a single uploader keeps up and
+    # extra threads only contend on the serialized relay transfer path, so
+    # the default is 1; raise it on direct-attached hosts if profiling
+    # shows staging gaps.
+    stage_threads: int = 1
 
 
 @dataclass
