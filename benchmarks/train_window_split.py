@@ -105,9 +105,14 @@ def main():
     # --- full window (no donation: state reused across programs) -----------
     window = make_train_window(model, tcfg, mfs)
 
+    def _consume(tree):
+        # consume EVERY leaf: returning one leaf lets XLA dead-code-
+        # eliminate the rest of the computation (measured: grad == fwd)
+        return sum(jnp.sum(jnp.asarray(x, jnp.float32)) for x in jax.tree.leaves(tree))
+
     def full(state, bt):
-        s2, _ = window(state, bt, key)
-        return s2.params["w_out"]["bias"]
+        s2, ms = window(state, bt, key)
+        return _consume(s2.params) + _consume(s2.opt_state) + _consume(ms)
 
     t_full, _ = timed(jax.jit(full), (state, bt))
     print({"full_window_ms": round(t_full, 2)}, flush=True)
@@ -133,13 +138,15 @@ def main():
     print({"fwd_ms": round(t_fwd, 2)}, flush=True)
 
     # --- grad (no optimizer) -------------------------------------------------
+    _consume_g = _consume
+
     @jax.jit
     def grad(params, batch_stats, bt):
         g = None
         for b, mf in zip(bt, mfs):
             gi = jax.grad(lambda p: loss_of(p, batch_stats, b, mf))(params)
             g = gi if g is None else jax.tree.map(jnp.add, g, gi)
-        return g["w_out"]["bias"]
+        return _consume(g)
 
     t_grad, _ = timed(grad, (state.params, state.batch_stats, bt))
     print({"grad_ms": round(t_grad, 2)}, flush=True)
@@ -154,20 +161,104 @@ def main():
                 b.packed_raw, b.n_rows, b.offsets, b.lengths, mf,
                 train=False, method=model.encode,
             )
-            tot = tot + jnp.sum(enc_logits[:, 0, 0])
+            tot = tot + _consume(memory) + _consume(enc_logits)
         return tot
 
     t_enc, _ = timed(enc_only, (state.params, state.batch_stats, bt))
     print({"encode_fwd_ms": round(t_enc, 2)}, flush=True)
 
+    # --- encoder forward, TRAIN mode (adds BN statistics + shift/dropout) ----
+    @jax.jit
+    def enc_train(params, batch_stats, bt):
+        tot = 0.0
+        for i, (b, mf) in enumerate(zip(bt, mfs)):
+            (memory, enc_logits, _), upd = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                b.packed_raw, b.n_rows, b.offsets, b.lengths, mf,
+                train=True, method=model.encode,
+                rngs={"dropout": jax.random.fold_in(key, 2 * i),
+                      "shift": jax.random.fold_in(key, 2 * i + 1)},
+                mutable=["batch_stats"],
+            )
+            tot = tot + _consume(memory) + _consume(enc_logits) + _consume(upd)
+        return tot
+
+    t_enc_tr, _ = timed(enc_train, (state.params, state.batch_stats, bt))
+    print({"encode_fwd_train_ms": round(t_enc_tr, 2)}, flush=True)
+
+    # --- CNN subsampler only (conv_blocks + w_raw_in), eval and train --------
+    def cnn_of(m, x, n_rows, running):
+        return m.w_raw_in(m.conv_blocks(x, n_rows, use_running_average=running))
+
+    @jax.jit
+    def cnn_eval(params, batch_stats, bt):
+        tot = 0.0
+        for b, _ in zip(bt, mfs):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                b.packed_raw, b.n_rows, True, method=cnn_of,
+            )
+            tot = tot + _consume(out)
+        return tot
+
+    t_cnn, _ = timed(cnn_eval, (state.params, state.batch_stats, bt))
+    print({"cnn_fwd_ms": round(t_cnn, 2)}, flush=True)
+
+    @jax.jit
+    def cnn_train(params, batch_stats, bt):
+        tot = 0.0
+        for b, _ in zip(bt, mfs):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                b.packed_raw, b.n_rows, False, method=cnn_of,
+                mutable=["batch_stats"],
+            )
+            tot = tot + _consume(out) + _consume(upd)
+        return tot
+
+    t_cnn_tr, _ = timed(cnn_train, (state.params, state.batch_stats, bt))
+    print({"cnn_fwd_train_ms": round(t_cnn_tr, 2)}, flush=True)
+
+    # --- per-component analytic FLOPs ----------------------------------------
+    d, ff = cfg.model_size, cfg.feed_forward_layer_size
+    M = cfg.relative_distance
+    conv_flops = 0.0
+    enc_flops = 0.0
+    for b, bucket in batches:
+        rows = int(b.packed_raw.shape[0])
+        chunk = 1600
+        t1, t2, t3 = chunk // 2, chunk // 4, chunk // 8
+        conv = 0
+        conv += 2 * t1 * (3 * 8 * d) + 2 * t1 * (3 * d * d) + 2 * t1 * (8 * d)
+        conv += 2 * t2 * (3 * d * d) + 2 * t2 * (3 * d * d) + 2 * t2 * (d * d)
+        conv += 2 * t3 * (3 * d * d) + 2 * t3 * (3 * d * d) + 2 * t3 * (d * d)
+        conv_flops += conv * rows + 2 * rows * t3 * d * d  # + w_raw_in on rows
+        B, T = int(b.offsets.shape[0]), bucket
+        relw = min(2 * M - 1, 2 * T - 1)
+        enc_layer = 8 * T * d * d + 4 * T * T * d + 2 * T * relw * d + 4 * T * d * ff
+        enc_flops += cfg.num_layers_encoder * B * enc_layer + 2 * B * T * d * 44
+
     hw_flops = bench.chip_peak_flops()
     mfu_full = 3 * total_fwd_flops / (t_full / 1000.0) / hw_flops * 100
+
+    def util(flops, ms):
+        return round(flops / (ms / 1000.0) / hw_flops * 100, 1)
+
     print({
         "backward_ms": round(t_grad - t_fwd, 2),
         "optimizer_and_accum_ms": round(t_full - t_grad, 2),
         "grad_over_fwd": round(t_grad / t_fwd, 2),
         "fwd_analytic_tflops": round(total_fwd_flops / 1e12, 3),
         "mfu_full_pct": round(mfu_full, 2),
+    }, flush=True)
+    print({
+        "cnn_analytic_gflops": round(conv_flops / 1e9, 1),
+        "cnn_util_eval_pct": util(conv_flops, t_cnn),
+        "cnn_util_train_pct": util(conv_flops, t_cnn_tr),
+        "enc_transformer_ms_eval": round(t_enc - t_cnn, 2),
+        "enc_transformer_util_pct": util(enc_flops, t_enc - t_cnn),
+        "bn_stats_and_shift_ms": round(t_enc_tr - t_enc, 2),
+        "decoder_and_losses_fwd_ms": round(t_fwd - t_enc_tr, 2),
     }, flush=True)
 
 
