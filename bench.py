@@ -653,7 +653,15 @@ def probe_backend(deadline_s: float = 300.0, retries: int = 1):
     return False, err
 
 
+def _progress(msg: str):
+    """Stage marker on stderr (stdout stays the single JSON line): when a
+    run stalls — cold relay tunnel, compile storm — the marker names the
+    stage that ate the wall clock."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
+    _progress("probing backend")
     ok, err = probe_backend()
     if not ok:
         emit_outage_record(err)
@@ -663,20 +671,27 @@ def main():
     except RuntimeError as e:  # clean-error mode (kept as a second guard)
         emit_outage_record(str(e))
         return
+    _progress("building greedy pipeline (DSP+encode+greedy compiles)")
     run_once, utts, geo, model, variables, stages = build_greedy_pipeline()
+    _progress("measuring greedy e2e")
     utt_per_sec = measure_greedy(run_once)
     stage_ms = measure_stages(run_once, stages)
     baseline = get_baseline(utts)
     vs = (utt_per_sec / baseline) if baseline else 0.0
 
+    _progress("measuring beam p50")
     beam_p50 = measure_beam_p50(model, variables)
+    _progress("measuring per-microbatch train step")
     train_ups, train_tflops, mfu = measure_train(geo)
+    _progress("measuring accumulation window (pre-staged)")
     accum_ups, accum_tflops, accum_mfu = measure_train_accum(
         [int(f) for f in geo["lengths"]]
     )
+    _progress("measuring accumulation window (host-staged)")
     staged_ups, _, staged_mfu = measure_train_accum(
         [int(f) for f in geo["lengths"]], host_staged=True
     )
+    _progress("done")
 
     print(
         json.dumps(
